@@ -1,0 +1,2 @@
+from .smpl import SMPLAssets, SMPLParams, smpl_forward, rest_joints
+from .camera import Camera, project_points, load_cameras_txt

@@ -1,0 +1,9 @@
+from .rotations import (
+    rodrigues,
+    matrix_to_quaternion,
+    quaternion_to_axis_angle,
+    matrix_to_axis_angle,
+    sixd_to_matrix,
+    transform_mat,
+)
+from .robust import gmof

@@ -1,0 +1,139 @@
+"""Rotation representations and conversions (pure JAX, batch-first).
+
+All functions are shape-polymorphic over leading batch dimensions and
+branch-free so they trace cleanly under `jit`/`vmap`/`jacfwd`.
+
+Numerical conventions match the reference fitting pipeline
+(MvSMPLfitting `code/smplx/lbs.py:269-300`, `code/model/VPoser.py:8-174`)
+so fits are comparable, but the implementations are written fresh for XLA:
+no in-place masks, no data-dependent branches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def rodrigues(rot_vecs: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle vectors -> rotation matrices.
+
+    Args:
+      rot_vecs: (..., 3) axis-angle vectors.
+
+    Returns:
+      (..., 3, 3) rotation matrices.
+
+    Parity note: the reference (`lbs.py:290`) computes the angle as
+    ``norm(theta + 1e-8)`` — the epsilon is added to *each component*
+    before the norm, which also regularizes the zero-rotation case.  We
+    reproduce that exactly so fitted poses round-trip bit-comparably.
+    """
+    shifted = rot_vecs + _EPS
+    angle = jnp.linalg.norm(shifted, axis=-1, keepdims=True)  # (..., 1)
+    axis = rot_vecs / angle
+
+    cos = jnp.cos(angle)[..., None]  # (..., 1, 1)
+    sin = jnp.sin(angle)[..., None]
+
+    rx, ry, rz = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(rx)
+    # Cross-product (skew) matrix K.
+    K = jnp.stack(
+        [zeros, -rz, ry, rz, zeros, -rx, -ry, rx, zeros], axis=-1
+    ).reshape(rot_vecs.shape[:-1] + (3, 3))
+
+    ident = jnp.eye(3, dtype=rot_vecs.dtype)
+    return ident + sin * K + (1.0 - cos) * (K @ K)
+
+
+def transform_mat(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Pack rotations (..., 3, 3) and translations (..., 3) into (..., 4, 4)."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    R = jnp.broadcast_to(R, batch + (3, 3))
+    t = jnp.broadcast_to(t, batch + (3,))
+    top = jnp.concatenate([R, t[..., None]], axis=-1)  # (..., 3, 4)
+    bottom = jnp.zeros(batch + (1, 4), dtype=R.dtype).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def matrix_to_quaternion(R: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Rotation matrices (..., 3, 3) -> unit quaternions (..., 4), w-first.
+
+    Branchless four-candidate selection (select the trace variant with the
+    largest pivot for numerical stability), the standard Shepperd method.
+    """
+    m = R
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    # Four squared-pivot candidates (4*q_i^2 style terms).
+    t_w = 1.0 + m00 + m11 + m22
+    t_x = 1.0 + m00 - m11 - m22
+    t_y = 1.0 - m00 + m11 - m22
+    t_z = 1.0 - m00 - m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, eps))
+
+    # Candidate quaternions, each normalized by its own pivot.
+    sw = safe_sqrt(t_w)
+    q_w = jnp.stack([sw, (m21 - m12) / sw, (m02 - m20) / sw, (m10 - m01) / sw], -1)
+    sx = safe_sqrt(t_x)
+    q_x = jnp.stack([(m21 - m12) / sx, sx, (m01 + m10) / sx, (m02 + m20) / sx], -1)
+    sy = safe_sqrt(t_y)
+    q_y = jnp.stack([(m02 - m20) / sy, (m01 + m10) / sy, sy, (m12 + m21) / sy], -1)
+    sz = safe_sqrt(t_z)
+    q_z = jnp.stack([(m10 - m01) / sz, (m02 + m20) / sz, (m12 + m21) / sz, sz], -1)
+
+    traces = jnp.stack([t_w, t_x, t_y, t_z], axis=-1)
+    best = jnp.argmax(traces, axis=-1)
+    cands = jnp.stack([q_w, q_x, q_y, q_z], axis=-2)  # (..., 4 cand, 4)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)
+    q = 0.5 * q[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quaternion_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternions (..., 4), w-first -> axis-angle (..., 3).
+
+    Ceres-style: theta = 2*atan2(|v|, w) with sign-folding so the result
+    angle lies in [-pi, pi] (matches `VPoser.py:110-157`).
+    """
+    w = q[..., 0]
+    v = q[..., 1:]
+    sin_sq = jnp.sum(v * v, axis=-1)
+    sin_theta = jnp.sqrt(jnp.maximum(sin_sq, 0.0))
+    two_theta = 2.0 * jnp.where(
+        w < 0.0,
+        jnp.arctan2(-sin_theta, -w),
+        jnp.arctan2(sin_theta, w),
+    )
+    # Avoid 0/0 at identity: fall back to the small-angle linearization 2*v.
+    k = jnp.where(sin_sq > 0.0, two_theta / jnp.maximum(sin_theta, 1e-30), 2.0)
+    return v * k[..., None]
+
+
+def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices (..., 3, 3) -> axis-angle (..., 3)."""
+    return quaternion_to_axis_angle(matrix_to_quaternion(R))
+
+
+def sixd_to_matrix(sixd: jnp.ndarray) -> jnp.ndarray:
+    """Continuous 6D rotation representation -> rotation matrices.
+
+    Input (..., 6) laid out as the reference VPoser decoder expects
+    (`VPoser.py:161-174`): reshape to (..., 3, 2), Gram-Schmidt the two
+    column vectors, complete with a cross product; columns are [b1 b2 b3].
+    """
+    a = sixd.reshape(sixd.shape[:-1] + (3, 2))
+    a1, a2 = a[..., 0], a[..., 1]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    dot = jnp.sum(b1 * a2, axis=-1, keepdims=True)
+    b2u = a2 - dot * b1
+    b2 = b2u / jnp.maximum(jnp.linalg.norm(b2u, axis=-1, keepdims=True), 1e-12)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)

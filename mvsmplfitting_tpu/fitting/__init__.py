@@ -1,0 +1,24 @@
+"""Fitting layer: energy, initialization, staged solvers."""
+
+from .energy import (
+    EnergySpec,
+    Observations,
+    StageWeights,
+    energy_terms,
+    total_energy,
+    residuals,
+    pack,
+    unpack,
+    free_mask,
+    num_unknowns,
+)
+from .initialize import init_guess, InitGuess
+from .lbfgs import lbfgs_fit, LBFGSOptions
+from .lm import lm_fit, LMOptions
+from .stages import (
+    FitConfig,
+    FitResult,
+    default_stages,
+    fit_frame,
+    stage_weights_table,
+)

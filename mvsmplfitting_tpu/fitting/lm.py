@@ -1,0 +1,114 @@
+"""Levenberg-Marquardt solver over the least-squares energy (primary).
+
+The fitting problem is a classic robustified nonlinear least squares with
+~50 unknowns (32 vposer latent + 10 betas + 3 orient + 3 transl + 1
+scale) against a few hundred residual rows.  The reference grinds it with
+L-BFGS + strong-Wolfe line search in a Python loop
+(`code/optimizers/lbfgs_ls.py`); on TPU the natural design is LM:
+
+* the Jacobian comes from one `jax.jacfwd` of the residual vector —
+  ~50 JVPs through the SMPL forward, i.e. a batch-50 model evaluation
+  whose matmuls tile straight onto the MXU;
+* the normal equations are a tiny dense solve (n x n, n ~ 50);
+* damping adaptation is branch-free carried state inside a bounded
+  `lax.while_loop`, so the whole multi-stage fit jits as one program and
+  vmaps over a frame batch with no host round-trips.
+
+Frozen parameters (fix_scale / fix_shape) are handled by masking their
+Jacobian columns and pinning the diagonal, which reproduces the
+reference's `requires_grad=False` freezing (`init_guess.py:190-212`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class LMOptions:
+    max_iters: int = struct.field(pytree_node=False, default=60)
+    ftol: float = struct.field(pytree_node=False, default=1e-9)
+    gtol: float = struct.field(pytree_node=False, default=1e-9)
+    init_lambda: float = struct.field(pytree_node=False, default=1e-3)
+    lambda_up: float = struct.field(pytree_node=False, default=10.0)
+    lambda_down: float = struct.field(pytree_node=False, default=0.2)
+    max_lambda: float = struct.field(pytree_node=False, default=1e10)
+    min_lambda: float = struct.field(pytree_node=False, default=1e-10)
+
+
+class _LMState(NamedTuple):
+    x: jnp.ndarray
+    loss: jnp.ndarray
+    lam: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+           x0: jnp.ndarray,
+           mask: jnp.ndarray,
+           opts: LMOptions = LMOptions(),
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Minimize ``sum(residual_fn(x)**2)`` from ``x0``.
+
+    Args:
+      residual_fn: x (n,) -> r (m,); must be jit-traceable.
+      mask: (n,) 1.0 for free parameters, 0.0 for frozen.
+
+    Returns:
+      (x_final (n,), final loss ()).
+    """
+    n = x0.shape[0]
+    eye = jnp.eye(n, dtype=x0.dtype)
+
+    def loss_of(x):
+        r = residual_fn(x)
+        return jnp.sum(r * r)
+
+    def step(state: _LMState) -> _LMState:
+        r = residual_fn(state.x)
+        J = jax.jacfwd(residual_fn)(state.x) * mask[None, :]
+        g = J.T @ r                       # (n,) gradient/2
+        JtJ = J.T @ J
+
+        # Marquardt scaling: lam * diag(JtJ) (with a floor so frozen /
+        # flat directions stay well-posed).
+        diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
+        A = JtJ + state.lam * jnp.diag(diag) + 1e-12 * eye
+        dx = -jnp.linalg.solve(A, g) * mask
+
+        new_x = state.x + dx
+        new_loss = loss_of(new_x)
+        accept = jnp.isfinite(new_loss) & (new_loss < state.loss)
+
+        x = jnp.where(accept, new_x, state.x)
+        loss = jnp.where(accept, new_loss, state.loss)
+        lam = jnp.clip(
+            jnp.where(accept, state.lam * opts.lambda_down,
+                      state.lam * opts.lambda_up),
+            opts.min_lambda, opts.max_lambda)
+
+        # Stop rules mirroring the reference monitor (`fitting.py:99-117`):
+        # relative f-change below ftol (only on accepted steps), max |grad|
+        # below gtol, or NaN/Inf.
+        rel = jnp.abs(state.loss - new_loss) / jnp.maximum(
+            jnp.maximum(jnp.abs(state.loss), jnp.abs(new_loss)), 1.0)
+        small_f = accept & (rel <= opts.ftol)
+        small_g = jnp.max(jnp.abs(g)) < opts.gtol
+        bad = ~jnp.isfinite(new_loss) & ~jnp.isfinite(state.loss)
+        done = state.done | small_f | small_g | bad
+        return _LMState(x=x, loss=loss, lam=lam, it=state.it + 1, done=done)
+
+    def cond(state: _LMState):
+        return (state.it < opts.max_iters) & ~state.done
+
+    init = _LMState(x=x0, loss=loss_of(x0),
+                    lam=jnp.asarray(opts.init_lambda, x0.dtype),
+                    it=jnp.zeros((), jnp.int32),
+                    done=jnp.zeros((), jnp.bool_))
+    final = jax.lax.while_loop(cond, step, init)
+    return final.x, final.loss

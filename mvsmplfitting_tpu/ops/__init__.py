@@ -6,4 +6,6 @@ from .rotations import (
     sixd_to_matrix,
     transform_mat,
 )
-from .robust import gmof
+from .robust import gmof, gmof_residual
+from .triangulate import triangulate, backproject_rays
+from .alignment import umeyama

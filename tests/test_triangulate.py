@@ -1,0 +1,174 @@
+"""Triangulation and umeyama alignment tests.
+
+Parity targets: the reference's `recompute3D` normal-equation form
+(`code/utils/recompute3D.py:22-62`) and modified-skimage umeyama
+(`code/utils/umeyama.py:16-110`), checked against independent numpy
+re-derivations of the same math plus recovery-from-synthetic-truth
+properties.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.models.camera import Camera
+from mvsmplfitting_tpu.ops.alignment import umeyama
+from mvsmplfitting_tpu.ops.triangulate import triangulate
+
+
+def make_cameras(num_views=6, radius=4.0, seed=0):
+    rng = np.random.default_rng(seed)
+    Rs, ts = [], []
+    for v in range(num_views):
+        ang = 2 * np.pi * v / num_views
+        # Camera at radius, looking at the origin.
+        cam_pos = np.array([radius * np.sin(ang), 0.3, radius * np.cos(ang)])
+        z = -cam_pos / np.linalg.norm(cam_pos)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])          # world->cam rows
+        t = -R @ cam_pos
+        Rs.append(R)
+        ts.append(t)
+    V = num_views
+    return Camera(
+        rotation=jnp.asarray(np.stack(Rs), jnp.float32),
+        translation=jnp.asarray(np.stack(ts), jnp.float32),
+        focal=jnp.full((V, 2), 1200.0),
+        center=jnp.full((V, 2), 540.0),
+    )
+
+
+def project_np(cam, pts):
+    R = np.asarray(cam.rotation)
+    t = np.asarray(cam.translation)
+    f = np.asarray(cam.focal)
+    c = np.asarray(cam.center)
+    cp = np.einsum("vab,kb->vka", R, pts) + t[:, None, :]
+    xy = cp[..., :2] / cp[..., 2:]
+    return xy * f[:, None, :] + c[:, None, :]
+
+
+def reference_recompute3d(cam, pixels, conf):
+    """Independent numpy restatement of `recompute3D.py:22-62`."""
+    R = np.asarray(cam.rotation, np.float64)
+    t = np.asarray(cam.translation, np.float64)
+    Kinv = np.linalg.inv(np.asarray(cam.intrinsic(), np.float64))
+    V, K, _ = pixels.shape
+    out = np.zeros((K, 3))
+    for i in range(K):
+        AtA = np.zeros((3, 3))
+        Atb = np.zeros(3)
+        for v in range(V):
+            n = Kinv[v] @ np.array([pixels[v, i, 0], pixels[v, i, 1], 1.0])
+            n /= np.linalg.norm(n)
+            nmat = np.eye(3) - np.outer(n, n)
+            rn = R[v].T @ nmat
+            w = conf[v, i] + 1e-6
+            AtA += rn @ R[v] * w
+            Atb += -rn @ t[v] * w
+        out[i] = np.linalg.solve(AtA.astype(np.float32), Atb)
+    return out
+
+
+class TestTriangulate:
+    def test_recovers_known_points(self, rng):
+        cam = make_cameras()
+        pts = rng.normal(scale=0.4, size=(17, 3)).astype(np.float64)
+        pixels = project_np(cam, pts)
+        conf = np.ones((6, 17), np.float32)
+        got = np.asarray(triangulate(
+            cam, jnp.asarray(pixels, jnp.float32), jnp.asarray(conf),
+            jnp.ones(6)))
+        np.testing.assert_allclose(got, pts, atol=5e-3)
+
+    def test_matches_reference_normal_equations(self, rng):
+        cam = make_cameras()
+        pts = rng.normal(scale=0.4, size=(17, 3))
+        pixels = project_np(cam, pts) + rng.normal(scale=3.0,
+                                                   size=(6, 17, 2))
+        conf = rng.uniform(0.1, 1.0, size=(6, 17)).astype(np.float32)
+        want = reference_recompute3d(cam, pixels, conf)
+        got = np.asarray(triangulate(
+            cam, jnp.asarray(pixels, jnp.float32), jnp.asarray(conf),
+            jnp.ones(6)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_view_mask_drops_views(self, rng):
+        cam = make_cameras()
+        pts = rng.normal(scale=0.4, size=(17, 3))
+        pixels = project_np(cam, pts)
+        # Poison two views completely; mask them out.
+        pixels[4:] += 500.0
+        conf = np.ones((6, 17), np.float32)
+        mask = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+        got = np.asarray(triangulate(
+            cam, jnp.asarray(pixels, jnp.float32), jnp.asarray(conf), mask))
+        np.testing.assert_allclose(got, pts, atol=2e-2)
+
+
+def reference_umeyama(src, dst, estimate_scale):
+    """Independent numpy restatement of the modified skimage umeyama
+    including the column-flip candidate selection (`umeyama.py:84-110`)."""
+    num, dim = src.shape
+    src_mean, dst_mean = src.mean(0), dst.mean(0)
+    src_d, dst_d = src - src_mean, dst - dst_mean
+    A = dst_d.T @ src_d / num
+    d = np.ones(dim)
+    if np.linalg.det(A) < 0:
+        d[dim - 1] = -1
+    U, S, Vt = np.linalg.svd(A)
+    rot0 = U @ np.diag(d) @ Vt
+    scale = 1.0 / src_d.var(0).sum() * (S @ d) if estimate_scale else 1.0
+    rot1 = rot0.copy()
+    rot1[:, :2] *= -1
+    losses = []
+    for rot in (rot0, rot1):
+        tr = dst_mean - scale * rot @ src_mean
+        losses.append(np.linalg.norm(scale * src @ rot.T + tr - dst))
+    trans = dst_mean - scale * rot1 @ src_mean  # always-flipped, like ref
+    rot = rot1 if losses[0] > losses[1] else rot0
+    return rot, trans, scale
+
+
+class TestUmeyama:
+    def rand_rot(self, rng):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+
+    @pytest.mark.parametrize("est_scale", [True, False])
+    def test_matches_reference(self, rng, est_scale):
+        for trial in range(8):
+            src = rng.normal(size=(4, 3))
+            R = self.rand_rot(rng)
+            s = rng.uniform(0.5, 3.0)
+            t = rng.normal(size=3)
+            dst = s * src @ R.T + t + rng.normal(scale=0.05, size=(4, 3))
+            want_r, want_t, want_s = reference_umeyama(src, dst, est_scale)
+            got_r, got_t, got_s = umeyama(
+                jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+                est_scale)
+            np.testing.assert_allclose(np.asarray(got_r), want_r,
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(got_t), want_t,
+                                       atol=2e-3)
+            np.testing.assert_allclose(float(got_s), want_s, rtol=2e-4)
+
+    def test_scale_recovery_exact(self, rng):
+        src = rng.normal(size=(10, 3))
+        R = self.rand_rot(rng)
+        s, t = 2.5, np.array([1.0, -2.0, 0.5])
+        dst = s * src @ R.T + t
+        got_r, got_t, got_s = umeyama(
+            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+            True)
+        np.testing.assert_allclose(float(got_s), s, rtol=1e-4)
+        # Winning rotation must be the true one.
+        np.testing.assert_allclose(np.asarray(got_r), R, atol=1e-4)

@@ -12,7 +12,7 @@ from .energy import (
     free_mask,
     num_unknowns,
 )
-from .initialize import init_guess, InitGuess
+from .initialize import init_guess, warm_start, InitGuess
 from .lbfgs import lbfgs_fit, LBFGSOptions
 from .lm import lm_fit, LMOptions
 from .stages import (

@@ -1,0 +1,3 @@
+"""Visualization: mesh overlays and keypoint drawing."""
+
+from .overlay import render_mesh_overlay, save_overlays, draw_keypoints

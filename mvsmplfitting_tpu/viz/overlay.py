@@ -1,0 +1,119 @@
+"""Per-view mesh overlays (the reference's pyrender output, rebuilt).
+
+The reference renders fitted meshes over every camera image with
+pyrender (`code/utils/utils.py:876-882`, `Renderer` at `:892-1129`).
+pyrender/trimesh/OpenGL are not available here, so this is a
+self-contained painter's-algorithm rasterizer: project vertices with
+the calibrated camera, depth-sort faces, Lambert-shade, fill with cv2,
+alpha-composite over the image.  Output artifacts (per-view jpg
+overlays + keypoint skeletons) match the reference's layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+# COCO17 skeleton edges for keypoint drawing (`module_utils.py:543-572`).
+COCO17_EDGES = (
+    (0, 1), (0, 2), (1, 3), (2, 4), (5, 6), (5, 7), (7, 9), (6, 8),
+    (8, 10), (5, 11), (6, 12), (11, 12), (11, 13), (13, 15), (12, 14),
+    (14, 16),
+)
+
+
+def _project(rotation, translation, focal, center, points):
+    cam = points @ rotation.T + translation
+    z = cam[:, 2:3]
+    xy = cam[:, :2] / np.maximum(z, 1e-9)
+    return xy * focal + center, cam[:, 2]
+
+
+def render_mesh_overlay(img: np.ndarray, verts: np.ndarray,
+                        faces: np.ndarray, rotation: np.ndarray,
+                        translation: np.ndarray, focal: np.ndarray,
+                        center: np.ndarray, color=(0.65, 0.74, 0.86),
+                        alpha: float = 0.9) -> np.ndarray:
+    """Composite the mesh over `img` (uint8 BGR or RGB, returned same)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    pix, depth = _project(rotation, translation, focal, center, verts)
+
+    tri_pix = pix[faces]                    # (F, 3, 2)
+    tri_depth = depth[faces].mean(axis=1)   # (F,)
+
+    # Cull behind-camera and offscreen faces.
+    valid = (depth[faces] > 1e-6).all(axis=1)
+    inside = ((tri_pix[..., 0] > -w) & (tri_pix[..., 0] < 2 * w) &
+              (tri_pix[..., 1] > -h) & (tri_pix[..., 1] < 2 * h)
+              ).all(axis=1)
+    valid &= inside
+
+    # Lambert shading from the face normal vs the view direction.
+    tri_w = verts[faces]                    # (F, 3, 3)
+    n = np.cross(tri_w[:, 1] - tri_w[:, 0], tri_w[:, 2] - tri_w[:, 0])
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    view_dir = rotation[2]                  # camera z-axis in world frame
+    shade = np.abs(n @ view_dir)
+    shade = 0.35 + 0.65 * shade             # ambient + diffuse
+
+    order = np.argsort(-tri_depth)          # far -> near
+    order = order[valid[order]]
+
+    layer = img.copy()
+    base = (np.asarray(color) * 255.0)
+    pts = np.round(tri_pix).astype(np.int32)
+    for f in order:
+        c = tuple(int(v) for v in (base * shade[f]))
+        cv2.fillConvexPoly(layer, pts[f], c, lineType=cv2.LINE_AA)
+
+    # Alpha blend only where the mesh drew.
+    mask = np.any(layer != img, axis=2, keepdims=True)
+    out = np.where(mask, (alpha * layer + (1 - alpha) * img), img)
+    return out.astype(img.dtype)
+
+
+def draw_keypoints(img: np.ndarray, keypoints: np.ndarray,
+                   conf_thresh: float = 0.2) -> np.ndarray:
+    """Draw a COCO17 skeleton (x, y, conf) onto the image in place."""
+    import cv2
+
+    kp = np.asarray(keypoints)
+    for a, b in COCO17_EDGES:
+        if a < len(kp) and b < len(kp) and \
+                kp[a, 2] > conf_thresh and kp[b, 2] > conf_thresh:
+            cv2.line(img, tuple(np.round(kp[a, :2]).astype(int)),
+                     tuple(np.round(kp[b, :2]).astype(int)),
+                     (0, 255, 255), 2, cv2.LINE_AA)
+    for j in range(len(kp)):
+        if kp[j, 2] > conf_thresh:
+            cv2.circle(img, tuple(np.round(kp[j, :2]).astype(int)), 3,
+                       (0, 0, 255), -1, cv2.LINE_AA)
+    return img
+
+
+def save_overlays(out_dir: str, frame, cameras, verts: np.ndarray,
+                  faces: np.ndarray, joints: Optional[np.ndarray] = None
+                  ) -> None:
+    """Write one overlay jpg per live view of the frame."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    R = np.asarray(cameras.rotation)
+    t = np.asarray(cameras.translation)
+    f = np.asarray(cameras.focal)
+    c = np.asarray(cameras.center)
+    for v, img_path in enumerate(frame.img_paths):
+        if img_path is None or not os.path.exists(img_path):
+            continue
+        img = cv2.imread(img_path)
+        if img is None:
+            continue
+        out = render_mesh_overlay(img, verts, faces, R[v], t[v], f[v],
+                                  c[v])
+        if frame.view_mask[v] > 0:
+            draw_keypoints(out, frame.keypoints[v, 0])
+        cv2.imwrite(os.path.join(out_dir, f"{v:02d}.jpg"), out)

@@ -1,0 +1,18 @@
+"""Detection frontend: person detector + heatmap pose estimator.
+
+JAX/Flax re-designs of the reference's two preprocessing networks —
+YOLOX-X person detection (`yolox/`) and FastPose(SE-ResNet50) 2D
+keypoints (`alphapose_core/`) — as batched NHWC inference graphs that
+jit once and stream whole camera batches through the MXU, instead of
+the reference's per-image Python loops.  Weights convert from the
+reference's torch checkpoints (`convert.py`); tests run shape/numerics
+with random initialization since the checkpoints are external
+downloads (`README.md:18-22`).
+"""
+
+from .yolox import YOLOX, decode_outputs, postprocess_boxes
+from .fastpose import FastPose
+from .preprocess import (
+    letterbox, bbox_to_center_scale, crop_affine, heatmap_to_coords,
+)
+from .predictor import PersonDetector, PoseEstimator, KeypointPipeline

@@ -1,0 +1,194 @@
+"""Torch checkpoint -> flax parameter conversion for the detectors.
+
+The reference ships torch checkpoints (`bytetrack_x_mot17` for YOLOX,
+`fast_res50_256x192.pth` for FastPose — external downloads per
+`README.md:18-22`).  This module maps their state_dicts onto the NHWC
+flax modules in `yolox.py` / `fastpose.py`.
+
+Conv kernels transpose (O, I, kH, kW) -> (kH, kW, I, O); BatchNorms map
+weight/bias/running_mean/running_var -> scale/bias/mean/var; Linear
+transposes (O, I) -> (I, O).  Torch is imported only here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _conv(sd, name):
+    return {"kernel": np.transpose(sd[name + ".weight"], (2, 3, 1, 0))}
+
+
+def _conv_b(sd, name):
+    out = _conv(sd, name)
+    out["bias"] = sd[name + ".bias"]
+    return out
+
+
+def _bn(sd, name):
+    return {
+        "scale": sd[name + ".weight"],
+        "bias": sd[name + ".bias"],
+    }
+
+
+def _bn_stats(sd, name):
+    return {
+        "mean": sd[name + ".running_mean"],
+        "var": sd[name + ".running_var"],
+    }
+
+
+def _dense(sd, name):
+    return {"kernel": np.transpose(sd[name + ".weight"], (1, 0)),
+            "bias": sd[name + ".bias"]}
+
+
+def _convbn(sd, prefix):
+    """Reference BaseConv 'conv' + 'bn' pair -> ConvBnAct params."""
+    return ({"conv": _conv(sd, prefix + ".conv"),
+             "bn": _bn(sd, prefix + ".bn")},
+            {"bn": _bn_stats(sd, prefix + ".bn")})
+
+
+class _Tree:
+    """Accumulates params and batch_stats trees in parallel."""
+
+    def __init__(self):
+        self.params: Dict = {}
+        self.stats: Dict = {}
+
+    def put(self, path, pair):
+        params, stats = pair
+        p = self.params
+        s = self.stats
+        for k in path[:-1]:
+            p = p.setdefault(k, {})
+            s = s.setdefault(k, {})
+        p[path[-1]] = params
+        s[path[-1]] = stats
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    return {k: v.numpy() for k, v in sd.items()
+            if hasattr(v, "numpy")}
+
+
+def _csp(tree, sd, dst, src, num_blocks):
+    tree.put(dst + ("conv1",), _convbn(sd, src + ".conv1"))
+    tree.put(dst + ("conv2",), _convbn(sd, src + ".conv2"))
+    tree.put(dst + ("conv3",), _convbn(sd, src + ".conv3"))
+    for i in range(num_blocks):
+        tree.put(dst + (f"m{i}", "conv1"),
+                 _convbn(sd, f"{src}.m.{i}.conv1"))
+        tree.put(dst + (f"m{i}", "conv2"),
+                 _convbn(sd, f"{src}.m.{i}.conv2"))
+
+
+def convert_yolox(path: str, depth_mul: float = 1.33) -> Dict:
+    """Convert a YOLOX torch checkpoint file to flax variables."""
+    return convert_yolox_sd(load_torch_state_dict(path), depth_mul)
+
+
+def convert_yolox_sd(sd: Dict, depth_mul: float = 1.33) -> Dict:
+    """Convert a YOLOX torch state_dict to flax variables."""
+    t = _Tree()
+    d = lambda n: max(round(n * depth_mul), 1)
+    bb = "backbone.backbone"
+
+    t.put(("fpn", "backbone", "stem", "conv"), _convbn(sd, bb + ".stem.conv"))
+    for i, (name, blocks, csp) in enumerate([
+            ("dark2", d(3), True), ("dark3", d(9), True),
+            ("dark4", d(9), True)]):
+        t.put(("fpn", "backbone", f"{name}_conv"),
+              _convbn(sd, f"{bb}.{name}.0"))
+        _csp(t, sd, ("fpn", "backbone", f"{name}_csp"),
+             f"{bb}.{name}.1", blocks)
+    t.put(("fpn", "backbone", "dark5_conv"), _convbn(sd, bb + ".dark5.0"))
+    t.put(("fpn", "backbone", "dark5_spp", "conv1"),
+          _convbn(sd, bb + ".dark5.1.conv1"))
+    t.put(("fpn", "backbone", "dark5_spp", "conv2"),
+          _convbn(sd, bb + ".dark5.1.conv2"))
+    _csp(t, sd, ("fpn", "backbone", "dark5_csp"), bb + ".dark5.2", d(3))
+
+    neck = "backbone"
+    t.put(("fpn", "lateral_conv0"), _convbn(sd, neck + ".lateral_conv0"))
+    _csp(t, sd, ("fpn", "C3_p4"), neck + ".C3_p4", d(3))
+    t.put(("fpn", "reduce_conv1"), _convbn(sd, neck + ".reduce_conv1"))
+    _csp(t, sd, ("fpn", "C3_p3"), neck + ".C3_p3", d(3))
+    t.put(("fpn", "bu_conv2"), _convbn(sd, neck + ".bu_conv2"))
+    _csp(t, sd, ("fpn", "C3_n3"), neck + ".C3_n3", d(3))
+    t.put(("fpn", "bu_conv1"), _convbn(sd, neck + ".bu_conv1"))
+    _csp(t, sd, ("fpn", "C3_n4"), neck + ".C3_n4", d(3))
+
+    for i in range(3):
+        t.put(("head", f"stem{i}"), _convbn(sd, f"head.stems.{i}"))
+        for j in range(2):
+            t.put(("head", f"cls_conv{i}_{j}"),
+                  _convbn(sd, f"head.cls_convs.{i}.{j}"))
+            t.put(("head", f"reg_conv{i}_{j}"),
+                  _convbn(sd, f"head.reg_convs.{i}.{j}"))
+        t.params.setdefault("head", {})[f"cls_pred{i}"] = _conv_b(
+            sd, f"head.cls_preds.{i}")
+        t.params["head"][f"reg_pred{i}"] = _conv_b(
+            sd, f"head.reg_preds.{i}")
+        t.params["head"][f"obj_pred{i}"] = _conv_b(
+            sd, f"head.obj_preds.{i}")
+    return {"params": t.params, "batch_stats": t.stats}
+
+
+def convert_fastpose(path: str) -> Dict:
+    """Convert an AlphaPose FastPose-R50 checkpoint to flax variables."""
+    return convert_fastpose_sd(load_torch_state_dict(path))
+
+
+def convert_fastpose_sd(sd: Dict) -> Dict:
+    t = _Tree()
+
+    t.put(("preact", "stem"), ({"conv": _conv(sd, "preact.conv1"),
+                                "bn": _bn(sd, "preact.bn1")},
+                               {"bn": _bn_stats(sd, "preact.bn1")}))
+    blocks = [3, 4, 6, 3]
+    for s, n in enumerate(blocks):
+        for b in range(n):
+            src = f"preact.layer{s + 1}.{b}"
+            dst = ("preact", f"layer{s + 1}_{b}")
+            t.put(dst + ("conv1",), ({"conv": _conv(sd, src + ".conv1"),
+                                      "bn": _bn(sd, src + ".bn1")},
+                                     {"bn": _bn_stats(sd, src + ".bn1")}))
+            t.put(dst + ("conv2",), ({"conv": _conv(sd, src + ".conv2"),
+                                      "bn": _bn(sd, src + ".bn2")},
+                                     {"bn": _bn_stats(sd, src + ".bn2")}))
+            p = {"conv3": _conv(sd, src + ".conv3")}
+            st = {}
+            t.params["preact"][f"layer{s + 1}_{b}"]["conv3"] = \
+                p["conv3"]
+            t.params["preact"][f"layer{s + 1}_{b}"]["bn3"] = _bn(
+                sd, src + ".bn3")
+            t.stats["preact"][f"layer{s + 1}_{b}"]["bn3"] = _bn_stats(
+                sd, src + ".bn3")
+            if b == 0:
+                t.params["preact"][f"layer{s + 1}_{b}"]["se"] = {
+                    "fc1": _dense(sd, src + ".se.fc.0"),
+                    "fc2": _dense(sd, src + ".se.fc.2"),
+                }
+                if f"{src}.downsample.0.weight" in sd:
+                    t.params["preact"][f"layer{s + 1}_{b}"]["down_conv"] \
+                        = _conv(sd, src + ".downsample.0")
+                    t.params["preact"][f"layer{s + 1}_{b}"]["down_bn"] = \
+                        _bn(sd, src + ".downsample.1")
+                    t.stats["preact"][f"layer{s + 1}_{b}"]["down_bn"] = \
+                        _bn_stats(sd, src + ".downsample.1")
+
+    for duc in ("duc1", "duc2"):
+        t.put((duc, "conv"), ({"conv": _conv(sd, f"{duc}.conv"),
+                               "bn": _bn(sd, f"{duc}.bn")},
+                              {"bn": _bn_stats(sd, f"{duc}.bn")}))
+    t.params["conv_out"] = _conv_b(sd, "conv_out")
+    return {"params": t.params, "batch_stats": t.stats}

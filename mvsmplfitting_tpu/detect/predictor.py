@@ -1,0 +1,123 @@
+"""Detection-frontend orchestration: images -> per-person 2D keypoints.
+
+The TPU redesign of `code/keypoint_predict.py`: instead of per-image,
+per-box Python loops through two GPU models, the whole camera set runs
+as two batched jit calls (detector on letterboxed frames, pose net on
+gathered crops), with only NMS and JSON writing on the host.  Output
+keypoint JSONs are byte-compatible with the reference's format, so the
+fitting stage consumes them unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.keypoints import save_keypoints_json
+from .fastpose import FastPose
+from .preprocess import (bbox_to_center_scale, crop_affine,
+                         heatmap_to_coords, letterbox, normalize_crops)
+from .yolox import YOLOX, postprocess_boxes
+
+
+class PersonDetector:
+    """YOLOX-X person detector (reference: `yolox/yolox.py:19-224`)."""
+
+    def __init__(self, params=None, input_hw: Tuple[int, int] = (800, 1440),
+                 conf_thresh: float = 0.1, nms_thresh: float = 0.45,
+                 seed: int = 0):
+        self.model = YOLOX(input_hw=input_hw)
+        self.input_hw = input_hw
+        self.conf_thresh = conf_thresh
+        self.nms_thresh = nms_thresh
+        if params is None:
+            dummy = jnp.zeros((1, *input_hw, 3))
+            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def detect_batch(self, imgs: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """BGR uint8 images -> list of (M_i, 5) xyxy+score person boxes."""
+        batch, ratios = [], []
+        for img in imgs:
+            padded, r = letterbox(img, self.input_hw)
+            batch.append(padded)
+            ratios.append(r)
+        decoded = self._apply(self.params,
+                              jnp.asarray(np.stack(batch)))
+        out = []
+        for dec, r in zip(np.asarray(decoded), ratios):
+            boxes = postprocess_boxes(dec, self.conf_thresh,
+                                      self.nms_thresh)
+            boxes[:, :4] /= r
+            out.append(boxes)
+        return out
+
+
+class PoseEstimator:
+    """FastPose heatmap keypoints (reference:
+    `alphapose_core/alphapose_core.py:19-226`)."""
+
+    def __init__(self, params=None, num_joints: int = 26,
+                 input_hw: Tuple[int, int] = (256, 192),
+                 seed: int = 0, batch: int = 80):
+        self.model = FastPose(num_joints=num_joints)
+        self.input_hw = input_hw
+        self.batch = batch
+        if params is None:
+            dummy = jnp.zeros((1, *input_hw, 3))
+            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def estimate(self, img_rgb01: np.ndarray,
+                 boxes_xyxy: np.ndarray) -> np.ndarray:
+        """Image ([0,1] RGB) + boxes (M, 4) -> keypoints (M, J, 3)."""
+        if len(boxes_xyxy) == 0:
+            return np.zeros((0, self.model.num_joints, 3), np.float32)
+        ih, iw = self.input_hw
+        centers, scales = bbox_to_center_scale(
+            boxes_xyxy[:, :4], aspect_ratio=iw / ih)
+        crops = crop_affine(jnp.asarray(img_rgb01),
+                            jnp.asarray(centers), jnp.asarray(scales),
+                            self.input_hw)
+        hms = []
+        for i in range(0, crops.shape[0], self.batch):
+            hms.append(self._apply(self.params,
+                                   normalize_crops(crops[i:i + self.batch])))
+        hms = jnp.concatenate(hms, axis=0)
+        coords, conf = heatmap_to_coords(hms, jnp.asarray(centers),
+                                         jnp.asarray(scales))
+        return np.concatenate(
+            [np.asarray(coords), np.asarray(conf)[..., None]],
+            axis=-1).astype(np.float32)
+
+
+class KeypointPipeline:
+    """Detector + pose net + JSON writer (= `keypoint_predict.py`)."""
+
+    def __init__(self, detector: Optional[PersonDetector] = None,
+                 pose: Optional[PoseEstimator] = None):
+        self.detector = detector or PersonDetector()
+        self.pose = pose or PoseEstimator()
+
+    def process_images(self, img_paths: Sequence[str],
+                       keyp_root: str, serial: str,
+                       cam_names: Sequence[str]) -> None:
+        """Run detection + pose per view, write OpenPose JSONs."""
+        import cv2
+
+        imgs = [cv2.imread(p) for p in img_paths]
+        boxes_per_view = self.detector.detect_batch(imgs)
+        for cam, path, img, boxes in zip(cam_names, img_paths, imgs,
+                                         boxes_per_view):
+            rgb01 = img[:, :, ::-1].astype(np.float32) / 255.0
+            kps = self.pose.estimate(rgb01, boxes)     # (P, J, 3)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out = os.path.join(keyp_root, serial, cam,
+                               stem + "_keypoints.json")
+            save_keypoints_json(out, kps)

@@ -1,0 +1,144 @@
+"""Pre/post-processing for the detection frontend, batched jnp.
+
+Numerics match the reference exactly where outputs feed the pipeline:
+* `letterbox` — YOLOX's ratio-preserving top-left resize with 114 pad
+  (`yolox/data/data_augment.py:189-211`); raw 0-255 BGR, no mean.
+* `bbox_to_center_scale` / `crop_affine` — AlphaPose's aspect-clipped,
+  1.25x-padded isotropic crop (`utils/bbox.py:197-226`,
+  `utils/transforms.py:762-803`, rot=0 path), as a batched bilinear
+  gather instead of per-box cv2.warpAffine.
+* `heatmap_to_coords` — argmax + 0.25-px gradient-sign refinement +
+  inverse bbox transform (`utils/transforms.py:555-589,710-736`),
+  vectorized over (boxes, joints).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def letterbox(img: np.ndarray, input_hw: Tuple[int, int] = (800, 1440),
+              pad_value: float = 114.0) -> Tuple[np.ndarray, float]:
+    """Resize keeping aspect, pad bottom/right. Returns (out, ratio).
+
+    img: (H, W, 3) uint8/float (BGR to match reference checkpoints).
+    """
+    import cv2
+
+    ih, iw = input_hw
+    h, w = img.shape[:2]
+    r = min(ih / h, iw / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    resized = cv2.resize(img, (nw, nh),
+                         interpolation=cv2.INTER_LINEAR).astype(np.float32)
+    out = np.full((ih, iw, 3), pad_value, np.float32)
+    out[:nh, :nw] = resized
+    return out, r
+
+
+def bbox_to_center_scale(xyxy: np.ndarray, aspect_ratio: float = 0.75,
+                         scale_mult: float = 1.25
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Boxes (M, 4) -> centers (M, 2), scales (M, 2) (w, h in pixels)."""
+    xyxy = np.asarray(xyxy, np.float32)
+    w = xyxy[:, 2] - xyxy[:, 0]
+    h = xyxy[:, 3] - xyxy[:, 1]
+    cx = xyxy[:, 0] + 0.5 * w
+    cy = xyxy[:, 1] + 0.5 * h
+    wide = w > aspect_ratio * h
+    h = np.where(wide, w / aspect_ratio, h)
+    w = np.where(~wide & (w < aspect_ratio * h), h * aspect_ratio, w)
+    scale = np.stack([w, h], -1) * scale_mult
+    return np.stack([cx, cy], -1), scale
+
+
+def crop_affine(img: jnp.ndarray, centers: jnp.ndarray,
+                scales: jnp.ndarray,
+                out_hw: Tuple[int, int] = (256, 192)) -> jnp.ndarray:
+    """Batched isotropic crops with bilinear sampling.
+
+    img: (H, W, 3) float; centers (M, 2); scales (M, 2).
+    Returns (M, out_h, out_w, 3).  Matches cv2.warpAffine with the
+    reference's rot=0 affine (isotropic dst_w/src_w scale about the
+    center) and constant-0 border.
+    """
+    oh, ow = out_hw
+    H, W = img.shape[0], img.shape[1]
+
+    def one(center, scale):
+        ratio = scale[0] / ow                        # src px per dst px
+        xs = (jnp.arange(ow) - ow * 0.5) * ratio + center[0]
+        ys = (jnp.arange(oh) - oh * 0.5) * ratio + center[1]
+        xg, yg = jnp.meshgrid(xs, ys)                # (oh, ow)
+
+        x0 = jnp.floor(xg)
+        y0 = jnp.floor(yg)
+        fx = (xg - x0)[..., None]
+        fy = (yg - y0)[..., None]
+
+        def pix(yi, xi):
+            inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+            xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            return jnp.where(inb[..., None], img[yc, xc], 0.0)
+
+        return ((1 - fx) * (1 - fy) * pix(y0, x0) +
+                fx * (1 - fy) * pix(y0, x0 + 1) +
+                (1 - fx) * fy * pix(y0 + 1, x0) +
+                fx * fy * pix(y0 + 1, x0 + 1))
+
+    return jax.vmap(one)(centers, scales)
+
+
+ALPHAPOSE_MEAN = jnp.asarray([0.406, 0.457, 0.480])  # RGB (`simple_transform.py:98-100`)
+
+
+def normalize_crops(crops: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] RGB crops -> mean-subtracted (the reference's only norm)."""
+    return crops - ALPHAPOSE_MEAN
+
+
+def heatmap_to_coords(hms: jnp.ndarray, centers: jnp.ndarray,
+                      scales: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                    jnp.ndarray]:
+    """Decode heatmaps (M, h, w, J) -> image coords (M, J, 2) + conf.
+
+    centers/scales describe each crop's source box (already
+    aspect-clipped & padded), so the inverse transform is the isotropic
+    scale back about the box center (`transforms.py:710-714`).
+    """
+    M, h, w, J = hms.shape
+    hm = jnp.transpose(hms, (0, 3, 1, 2))            # (M, J, h, w)
+    flat = hm.reshape(M, J, -1)
+    idx = jnp.argmax(flat, axis=-1)
+    maxval = jnp.max(flat, axis=-1)
+    px = (idx % w).astype(jnp.float32)
+    py = (idx // w).astype(jnp.float32)
+
+    # Quarter-pixel refinement by gradient sign (guarded to interior).
+    pxi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+    pyi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+
+    def gather(hmj, yy, xx):
+        return hmj[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+
+    g = jax.vmap(jax.vmap(gather))
+    dx = (g(hm, pyi, pxi + 1) - g(hm, pyi, pxi - 1))
+    dy = (g(hm, pyi + 1, pxi) - g(hm, pyi - 1, pxi))
+    interior = ((pxi > 1) & (pxi < w - 1) & (pyi > 1) & (pyi < h - 1))
+    px = px + jnp.where(interior, jnp.sign(dx) * 0.25, 0.0)
+    py = py + jnp.where(interior, jnp.sign(dy) * 0.25, 0.0)
+
+    # Zero out non-positive maxima like `get_max_pred` (`:732-735`).
+    mask = (maxval > 0).astype(jnp.float32)
+    px = px * mask
+    py = py * mask
+
+    ratio = (scales[:, 0] / w)[:, None]              # (M, 1)
+    x_img = (px - w * 0.5) * ratio + centers[:, 0:1]
+    y_img = (py - h * 0.5) * ratio + centers[:, 1:2]
+    return jnp.stack([x_img, y_img], axis=-1), maxval

@@ -61,6 +61,11 @@ class StageWeights:
     shape: jnp.ndarray    # shape_weight
     bending: jnp.ndarray  # 3.17 * pose (`non_linear_solver.py:178-179`)
     coll: jnp.ndarray     # coll_loss_weight
+    # Static: whether this stage evaluates the SDF term at all (the
+    # reference's Python-level `coll_loss_weight.item() > 0` check,
+    # `fitting.py:355`).  Differing values give different jit graphs, so
+    # stages with/without collision cannot be stacked into one scan.
+    coll_on: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def make(cls, data, pose, shape, bending=None, coll=0.0):
@@ -68,7 +73,8 @@ class StageWeights:
         if bending is None:
             bending = 3.17 * pose
         return cls(data=f(data), pose=f(pose), shape=f(shape),
-                   bending=f(bending), coll=f(coll))
+                   bending=f(bending), coll=f(coll),
+                   coll_on=bool(coll > 0))
 
 
 @struct.dataclass
@@ -83,6 +89,10 @@ class EnergySpec:
     prior_type: str = struct.field(pytree_node=False, default="l2")
     rho: float = struct.field(pytree_node=False, default=100.0)
     num_betas: int = struct.field(pytree_node=False, default=10)
+    # Interpenetration (SDF) term — `fitting.py:352-394`.
+    interpenetration: bool = struct.field(pytree_node=False, default=False)
+    coll_grid_size: int = struct.field(pytree_node=False, default=32)
+    use_pallas_sdf: bool = struct.field(pytree_node=False, default=False)
 
 
 # ---------------------------------------------------------------------------
@@ -195,8 +205,15 @@ def energy_terms(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     if not spec.use_vposer:
         angle = jnp.where(angle > 1e4, 0.0, angle)  # `fitting.py:349-350`
 
+    coll = jnp.zeros(())
+    if spec.interpenetration and weights.coll_on:
+        from ..ops.sdf import collision_energy
+        coll = collision_energy(verts, assets.faces, weights.coll,
+                                spec.coll_grid_size, spec.use_pallas_sdf)
+
     return {"joint": joint_loss, "joint3d": loss3d, "pose_prior": pprior,
-            "shape_prior": shape_loss, "angle_prior": angle}
+            "shape_prior": shape_loss, "angle_prior": angle,
+            "collision": coll}
 
 
 def total_energy(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
@@ -206,35 +223,48 @@ def total_energy(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     """Scalar fitting energy — the quantity the reference minimizes."""
     t = energy_terms(spec, assets, cam, obs, weights, vposer_w, gmm, x)
     return (t["joint"] + t["joint3d"] + t["pose_prior"] +
-            t["shape_prior"] + t["angle_prior"])
+            t["shape_prior"] + t["angle_prior"] + t["collision"])
 
 
-def residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
-              obs: Observations, weights: StageWeights,
-              vposer_w: Optional[vposer_lib.VPoserWeights],
-              gmm: Optional[GMMPrior], x: jnp.ndarray) -> jnp.ndarray:
-    """Least-squares residual vector r with sum(r^2) == total_energy.
+def data_residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
+                   obs: Observations, weights: StageWeights,
+                   vposer_w: Optional[vposer_lib.VPoserWeights],
+                   x: jnp.ndarray) -> jnp.ndarray:
+    """2D (and optional 3D) data-term residual rows.
 
-    Rows: 2D data (V*K*2, via the smooth `gmof_residual` so the robust
-    kernel stays inside the least-squares structure), optional 3D data
-    (K*3), pose prior (32 or 69), shape prior (NB), bending prior (4).
-    The GMM prior's -log-weight offset is locally constant and only
-    enters the scalar form; its quadratic part is exact here.
+    Separated from the priors so a camera-sharded solver can assemble
+    per-view J^T J blocks with a `psum` over the cameras mesh axis and
+    add the (replicated) prior blocks once.
     """
     params, z, body_pose, verts, joints = _forward(
         spec, assets, vposer_w, x)
 
     proj = project_points(cam, joints)
     w = _data_weights(spec, obs) * weights.data           # (V, K)
-    r2d = (w[..., None] * gmof_residual(obs.gt2d - proj, spec.rho)
-           ).reshape(-1)
-    rows = [r2d]
+    rows = [(w[..., None] * gmof_residual(obs.gt2d - proj, spec.rho)
+             ).reshape(-1)]
 
     if spec.use_3d and obs.gt3d is not None:
         w3 = obs.conf3d[:, None] * weights.data
         rows.append((w3 * gmof_residual(obs.gt3d - joints, spec.rho)
                      ).reshape(-1))
+    return jnp.concatenate(rows)
 
+
+def prior_residuals(spec: EnergySpec, weights: StageWeights,
+                    gmm: Optional[GMMPrior],
+                    vposer_w: Optional[vposer_lib.VPoserWeights],
+                    x: jnp.ndarray) -> jnp.ndarray:
+    """Prior residual rows: pose (32 or 69 [+69]), shape (NB), bending (4).
+
+    The GMM prior's -log-weight offset is locally constant and only
+    enters the scalar form; its quadratic part is exact here.
+    """
+    params, z = unpack(spec, x)
+    body_pose = (vposer_lib.decode(vposer_w, z) if spec.use_vposer
+                 else params.body_pose)
+
+    rows = []
     if spec.use_vposer:
         rows.append(weights.pose * z)
     else:
@@ -250,7 +280,32 @@ def residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     # angle term: sum(exp(s*theta)^2) * w  ==  sum((sqrt(w) exp(s*theta))^2)
     rows.append(jnp.sqrt(weights.bending) *
                 jnp.sqrt(angle_prior_terms(body_pose)))
+    return jnp.concatenate(rows)
 
+
+def residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
+              obs: Observations, weights: StageWeights,
+              vposer_w: Optional[vposer_lib.VPoserWeights],
+              gmm: Optional[GMMPrior], x: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares residual vector r with sum(r^2) == total_energy.
+
+    Rows: 2D data (V*K*2, via the smooth `gmof_residual` so the robust
+    kernel stays inside the least-squares structure), optional 3D data
+    (K*3), the prior rows (`prior_residuals`), and — when the SDF term
+    is active this stage — one collision row per person
+    (w * sum(phi) / P, whose square is the reference's penalty).
+    """
+    rows = [data_residuals(spec, assets, cam, obs, weights, vposer_w, x),
+            prior_residuals(spec, weights, gmm, vposer_w, x)]
+    if spec.interpenetration and weights.coll_on:
+        from ..ops.sdf import collision_sums
+        params, z = unpack(spec, x)
+        body_pose = (vposer_lib.decode(vposer_w, z) if spec.use_vposer
+                     else params.body_pose)
+        verts, _ = smpl_forward(assets, params, body_pose)
+        s = collision_sums(verts, assets.faces, spec.coll_grid_size,
+                           spec.use_pallas_sdf)
+        rows.append(weights.coll * s / s.shape[0])
     return jnp.concatenate(rows)
 
 

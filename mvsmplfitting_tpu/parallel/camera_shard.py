@@ -1,0 +1,184 @@
+"""Camera-axis-sharded Gauss-Newton fitting (shard_map + psum).
+
+One frame's energy is a sum of per-view residual blocks plus priors.
+Sharding the *views* of each frame over the `cameras` mesh axis, each
+device computes the Jacobian block of its local views only; the
+Gauss-Newton normal equations of the shared body parameters are then
+assembled with a single `psum` of (J^T J, J^T r, loss) over the axis —
+~n*(n+1)/2 + n + 1 floats for n ~ 50 unknowns, a trivially small
+all-reduce that rides ICI.  The parameter update is computed redundantly
+on every shard (replicated tiny solve), which costs nothing and avoids a
+broadcast.
+
+Combined with the `frames` axis (independent frame shards, no
+communication), this is the full 2-D mesh decomposition of multi-view
+bundle-adjustment-style fitting: the structural analogue of
+data-parallel x tensor-parallel for this workload.  Nothing like it
+exists in the reference (single device, views looped in Python —
+`code/utils/fitting.py:296-299`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..fitting import energy as E
+from ..fitting.energy import EnergySpec, Observations, StageWeights
+from ..fitting.initialize import init_guess
+from ..fitting.lm import LMOptions
+from ..fitting.stages import FitConfig, FitResult, default_stages
+from ..models.camera import Camera
+from .mesh import CAMERAS_AXIS, FRAMES_AXIS
+
+
+def _local_camera(cam: Camera) -> Camera:
+    return cam  # already a per-shard slice inside shard_map
+
+
+def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
+                cam_l: Camera, obs_l: Observations,
+                weights: StageWeights, x0: jnp.ndarray) -> jnp.ndarray:
+    """LM minimization with camera-sharded normal-equation assembly.
+
+    Runs inside `shard_map`; `cam_l` / `obs_l` hold this shard's views.
+    """
+    spec = cfg.spec
+    opts = cfg.lm
+    mask = E.free_mask(spec)
+    n = x0.shape[0]
+    eye = jnp.eye(n, dtype=x0.dtype)
+
+    def data_res(x):
+        return E.data_residuals(spec, assets, cam_l, obs_l, weights,
+                                vposer_w, x)
+
+    def prior_res(x):
+        return E.prior_residuals(spec, weights, gmm, vposer_w, x)
+
+    def loss_of(x):
+        rd = data_res(x)
+        rp = prior_res(x)
+        return (jax.lax.psum(jnp.sum(rd * rd), CAMERAS_AXIS) +
+                jnp.sum(rp * rp))
+
+    def step(state):
+        x, loss, lam, it, done = state
+        rd = data_res(x)
+        Jd = jax.jacfwd(data_res)(x) * mask[None, :]
+        blocks = (Jd.T @ Jd, Jd.T @ rd)
+        JtJ_d, g_d = jax.lax.psum(blocks, CAMERAS_AXIS)
+
+        rp = prior_res(x)
+        Jp = jax.jacfwd(prior_res)(x) * mask[None, :]
+        JtJ = JtJ_d + Jp.T @ Jp
+        g = g_d + Jp.T @ rp
+
+        diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
+        A = JtJ + lam * jnp.diag(diag) + 1e-12 * eye
+        dx = -jnp.linalg.solve(A, g) * mask
+
+        new_x = x + dx
+        new_loss = loss_of(new_x)
+        accept = jnp.isfinite(new_loss) & (new_loss < loss)
+        x = jnp.where(accept, new_x, x)
+        loss_out = jnp.where(accept, new_loss, loss)
+        lam = jnp.clip(jnp.where(accept, lam * opts.lambda_down,
+                                 lam * opts.lambda_up),
+                       opts.min_lambda, opts.max_lambda)
+        rel = jnp.abs(loss - new_loss) / jnp.maximum(
+            jnp.maximum(jnp.abs(loss), jnp.abs(new_loss)), 1.0)
+        done = done | (accept & (rel <= opts.ftol)) | \
+            (jnp.max(jnp.abs(g)) < opts.gtol)
+        return (x, loss_out, lam, it + 1, done)
+
+    def cond(state):
+        return (state[3] < opts.max_iters) & ~state[4]
+
+    init = (x0, loss_of(x0), jnp.asarray(opts.init_lambda, x0.dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
+    x, loss, *_ = jax.lax.while_loop(cond, step, init)
+    return x, loss
+
+
+def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
+                       obs: Observations, mesh: Mesh,
+                       vposer_w=None, gmm=None,
+                       img_height: float = 1080.0,
+                       est_scale: bool = True):
+    """Fit a frame batch on a (frames, cameras) mesh.
+
+    Args:
+      obs: batched observations, arrays shaped (B, V, ...); B divisible
+        by the frames axis, V by the cameras axis.
+
+    Returns:
+      (x (B, n) packed parameters, loss (B,)).
+    """
+    spec = cfg.spec
+    stages = default_stages(cfg, jnp.asarray(img_height, jnp.float32))
+
+    obs_spec = Observations(
+        gt2d=P(FRAMES_AXIS, CAMERAS_AXIS),
+        conf=P(FRAMES_AXIS, CAMERAS_AXIS),
+        view_mask=P(FRAMES_AXIS, CAMERAS_AXIS),
+        joint_weights=P(FRAMES_AXIS),
+        gt3d=None if obs.gt3d is None else P(FRAMES_AXIS),
+        conf3d=None if obs.conf3d is None else P(FRAMES_AXIS))
+    cam_spec = Camera(rotation=P(CAMERAS_AXIS),
+                      translation=P(CAMERAS_AXIS),
+                      focal=P(CAMERAS_AXIS), center=P(CAMERAS_AXIS))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(cam_spec, obs_spec),
+        out_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS)),
+        check_rep=False)
+    def run(cam_l: Camera, obs_l: Observations):
+        def one_frame(o: Observations):
+            # Initialization needs all views: triangulation's 3x3 normal
+            # equations are themselves psum-assembled across the axis.
+            from ..ops.triangulate import triangulate
+            from ..ops.alignment import umeyama
+            from ..ops.rotations import matrix_to_axis_angle
+            from ..models.smpl import SMPLParams, rest_joints
+            from ..fitting.initialize import TORSO
+
+            rest = rest_joints(assets)
+            n_rays = o.conf + 1e-6
+            # local partial normal equations, psum over cameras
+            from ..ops.triangulate import backproject_rays
+            nr = backproject_rays(cam_l, o.gt2d)
+            nmat = (jnp.eye(3) -
+                    jnp.einsum("vka,vkb->vkab", nr, nr))
+            rn = jnp.einsum("vba,vkbc->vkac", cam_l.rotation, nmat)
+            w = n_rays * o.view_mask[:, None]
+            AtA = jnp.einsum("vk,vkab,vbc->kac", w, rn, cam_l.rotation)
+            Atb = jnp.einsum("vk,vkab,vb->ka", -w, rn, cam_l.translation)
+            AtA, Atb = jax.lax.psum((AtA, Atb), CAMERAS_AXIS)
+            joints3d = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+
+            rot, trans, scale = umeyama(rest[TORSO], joints3d[TORSO],
+                                        est_scale)
+            params = SMPLParams(
+                betas=jnp.zeros((assets.num_betas,)),
+                global_orient=matrix_to_axis_angle(rot),
+                body_pose=jnp.zeros((69,)), transl=trans, scale=scale)
+            x = E.pack(spec, params,
+                       jnp.zeros((E.LATENT_DIM,)) if spec.use_vposer
+                       else None)
+
+            loss = jnp.zeros(())
+            for wts in stages:
+                x, loss = _lm_sharded(cfg, assets, vposer_w, gmm, cam_l,
+                                      o, wts, x)
+            return x, loss
+
+        return jax.vmap(one_frame)(obs_l)
+
+    return run(cam, obs)

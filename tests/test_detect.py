@@ -1,0 +1,278 @@
+"""Detection-frontend tests: shapes, decode numerics, crop/heatmap
+round trips, and (when the reference torch code imports) activation
+parity of the YOLOX graph against a randomly-initialized torch build.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.detect.blocks import pixel_shuffle
+from mvsmplfitting_tpu.detect.fastpose import FastPose
+from mvsmplfitting_tpu.detect.preprocess import (
+    bbox_to_center_scale, crop_affine, heatmap_to_coords, letterbox,
+)
+from mvsmplfitting_tpu.detect.yolox import (
+    YOLOX, decode_outputs, nms_xyxy, postprocess_boxes,
+)
+
+SMALL_HW = (64, 96)  # tiny input for fast CPU tests (stride-32 clean)
+
+
+class TestYOLOX:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        # Small multipliers for test speed; architecture is identical.
+        model = YOLOX(depth_mul=0.33, width_mul=0.25, input_hw=SMALL_HW)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, *SMALL_HW, 3)))
+        return model, params
+
+    def test_output_shape(self, model_and_params):
+        model, params = model_and_params
+        out = model.apply(params, jnp.zeros((2, *SMALL_HW, 3)))
+        h, w = SMALL_HW
+        anchors = sum((h // s) * (w // s) for s in (8, 16, 32))
+        assert out.shape == (2, anchors, 6)
+
+    def test_decode_grid_offsets(self):
+        # raw xy=0, wh=0 at every anchor must decode to grid*stride
+        # centers with wh == stride.
+        h, w = 32, 32
+        anchors = sum((h // s) * (w // s) for s in (8, 16, 32))
+        raw = np.zeros((1, anchors, 6), np.float32)
+        dec = np.asarray(decode_outputs(jnp.asarray(raw), (h, w)))
+        assert dec[0, 0, 0] == 0.0 and dec[0, 0, 1] == 0.0
+        assert dec[0, 1, 0] == 8.0          # second anchor of stride 8
+        assert dec[0, 0, 2] == 8.0          # wh = exp(0)*stride
+        assert dec[0, -1, 2] == 32.0        # last level stride 32
+
+    def test_nms(self):
+        boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11],
+                            [50, 50, 60, 60]], np.float32)
+        scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+        keep = nms_xyxy(boxes, scores, 0.45)
+        assert keep == [0, 2]
+
+    def test_postprocess_dual_band(self):
+        # One high-conf box kept; low-conf boxes dropped when a high
+        # one exists (`yolox/yolox.py:54-66`).
+        dec = np.zeros((3, 6), np.float32)
+        dec[:, :2] = [[10, 10], [100, 100], [200, 200]]
+        dec[:, 2:4] = 10
+        dec[:, 5] = 1.0
+        dec[:, 4] = [0.9, 0.2, 0.05]
+        out = postprocess_boxes(dec, conf_thresh=0.1)
+        assert out.shape[0] == 1 and out[0, 4] > 0.45
+        # No high-conf: single best band box kept.
+        dec[:, 4] = [0.3, 0.2, 0.05]
+        out = postprocess_boxes(dec, conf_thresh=0.1)
+        assert out.shape[0] == 1
+        np.testing.assert_allclose(out[0, 4], 0.3, rtol=1e-5)
+
+
+class TestFastPose:
+    def test_output_shape(self):
+        model = FastPose(num_joints=26)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 256, 192, 3)))
+        out = model.apply(params, jnp.zeros((2, 256, 192, 3)))
+        assert out.shape == (2, 64, 48, 26)
+
+    def test_pixel_shuffle_matches_torch(self, rng):
+        import torch
+
+        x = rng.standard_normal((2, 4, 5, 16)).astype(np.float32)
+        got = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+        want = torch.pixel_shuffle(
+            torch.from_numpy(x).permute(0, 3, 1, 2), 2
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestPreprocess:
+    def test_letterbox_ratio_and_pad(self, rng):
+        img = (rng.uniform(0, 255, size=(100, 50, 3))).astype(np.uint8)
+        out, r = letterbox(img, (64, 64))
+        assert out.shape == (64, 64, 3)
+        np.testing.assert_allclose(r, 0.64)
+        # Padded region is 114.
+        assert (out[:, 40:] == 114.0).all()
+
+    def test_center_scale_aspect_clip(self):
+        centers, scales = bbox_to_center_scale(
+            np.asarray([[0, 0, 30, 100]]), aspect_ratio=0.75)
+        np.testing.assert_allclose(centers[0], [15, 50])
+        # Width clipped up to 0.75 * h, then 1.25 padding.
+        np.testing.assert_allclose(scales[0], [75 * 1.25, 100 * 1.25])
+
+    def test_crop_affine_identity_center(self, rng):
+        img = rng.uniform(0, 1, size=(64, 48, 3)).astype(np.float32)
+        centers = np.asarray([[24.0, 32.0]], np.float32)
+        scales = np.asarray([[48.0, 64.0]], np.float32)
+        out = np.asarray(crop_affine(jnp.asarray(img),
+                                     jnp.asarray(centers),
+                                     jnp.asarray(scales), (64, 48)))
+        np.testing.assert_allclose(out[0], img, atol=1e-5)
+
+    def test_heatmap_decode_peak(self):
+        hm = np.zeros((1, 64, 48, 3), np.float32)
+        hm[0, 20, 10, 0] = 1.0
+        hm[0, 20, 11, 0] = 0.5   # gradient pulls +x
+        hm[0, 40, 30, 1] = 1.0
+        centers = np.asarray([[100.0, 200.0]], np.float32)
+        scales = np.asarray([[96.0, 128.0]], np.float32)
+        coords, conf = heatmap_to_coords(jnp.asarray(hm),
+                                         jnp.asarray(centers),
+                                         jnp.asarray(scales))
+        coords = np.asarray(coords)
+        ratio = 96.0 / 48
+        np.testing.assert_allclose(
+            coords[0, 0], [(10.25 - 24) * ratio + 100,
+                           (20 - 32) * ratio + 200], atol=1e-4)
+        assert float(conf[0, 2]) == 0.0  # empty heatmap -> conf 0
+
+
+class TestTorchParity:
+    """Activation parity against the reference torch YOLOX graph."""
+
+    @pytest.fixture(scope="class")
+    def torch_yolox(self):
+        sys.path.insert(0, "/root/reference")
+        try:
+            import types
+
+            if "loguru" not in sys.modules:  # stub: only logging is used
+                loguru = types.ModuleType("loguru")
+
+                class _L:
+                    def __getattr__(self, name):
+                        return lambda *a, **k: None
+
+                loguru.logger = _L()
+                sys.modules["loguru"] = loguru
+            if "torchvision" not in sys.modules:
+                # Only `torchvision.ops.batched_nms` is referenced by
+                # utility modules pulled in via package __init__.
+                tv = types.ModuleType("torchvision")
+                tv_ops = types.ModuleType("torchvision.ops")
+                tv_ops.batched_nms = lambda *a, **k: None
+                tv.ops = tv_ops
+                sys.modules["torchvision"] = tv
+                sys.modules["torchvision.ops"] = tv_ops
+            if "thop" not in sys.modules:
+                thop = types.ModuleType("thop")
+                thop.profile = lambda *a, **k: (0, 0)
+                sys.modules["thop"] = thop
+            import torch
+            from yolox.models.yolox import YOLOX as TorchYOLOX
+            from yolox.models.yolo_pafpn import YOLOPAFPN
+            from yolox.models.yolo_head import YOLOXHead
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference torch yolox unavailable: {e}")
+        depth, width = 0.33, 0.25
+        backbone = YOLOPAFPN(depth, width)
+        head = YOLOXHead(1, width)
+        model = TorchYOLOX(backbone, head)
+        model.eval()
+        model.head.decode_in_inference = False
+        return model
+
+    def test_yolox_matches_torch_random_weights(self, torch_yolox, rng):
+        import torch
+
+        from mvsmplfitting_tpu.detect.torch_import import (
+            yolox_params_from_module,
+        )
+
+        model = YOLOX(depth_mul=0.33, width_mul=0.25, input_hw=SMALL_HW)
+        variables = yolox_params_from_module(torch_yolox, depth_mul=0.33)
+
+        img = rng.uniform(0, 255, size=(1, *SMALL_HW, 3)
+                          ).astype(np.float32)
+        with torch.no_grad():
+            want = torch_yolox(
+                torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+
+        from mvsmplfitting_tpu.detect.yolox import YOLOPAFPN as FlaxFPN
+        from mvsmplfitting_tpu.detect.yolox import YOLOXHead as FlaxHead
+        import flax.linen as fnn
+
+        class RawYOLOX(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                feats = FlaxFPN(0.33, 0.25, name="fpn")(x)
+                return FlaxHead(1, 0.25, name="head")(feats)
+
+        got = np.asarray(RawYOLOX().apply(variables, jnp.asarray(img)))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+    def test_fastpose_matches_torch_random_weights(self, rng):
+        """Build the reference's SEResnet+DUC stack in torch (random
+        weights, skipping the torchvision-pretrained load in
+        `fastpose.py:33-40`), convert, compare activations."""
+        # Load the layer modules as a synthetic package: importing the
+        # real `alphapose.models` package pulls in its full model zoo
+        # (torchvision downloads, self-imports via `alphapose_core.*`).
+        try:
+            import importlib.util
+            import types
+
+            import torch
+            import torch.nn as tnn
+
+            layers_dir = ("/root/reference/alphapose_core/alphapose/"
+                          "models/layers")
+            pkg = types.ModuleType("apx_layers")
+            pkg.__path__ = [layers_dir]
+            sys.modules.setdefault("apx_layers", pkg)
+
+            def load(name):
+                spec = importlib.util.spec_from_file_location(
+                    f"apx_layers.{name}", f"{layers_dir}/{name}.py")
+                mod = importlib.util.module_from_spec(spec)
+                sys.modules[f"apx_layers.{name}"] = mod
+                spec.loader.exec_module(mod)
+                return mod
+
+            load("SE_module")
+            SEResnet = load("SE_Resnet").SEResnet
+            TorchDUC = load("DUC").DUC
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference alphapose unavailable: {e}")
+
+        class TorchFastPose(tnn.Module):
+            def __init__(self, num_joints=26):
+                super().__init__()
+                self.preact = SEResnet("resnet50")
+                self.suffle1 = tnn.PixelShuffle(2)
+                self.duc1 = TorchDUC(512, 1024, upscale_factor=2)
+                self.duc2 = TorchDUC(256, 512, upscale_factor=2)
+                self.conv_out = tnn.Conv2d(128, num_joints, 3, 1, 1)
+
+            def forward(self, x):
+                x = self.preact(x)
+                x = self.suffle1(x)
+                x = self.duc1(x)
+                x = self.duc2(x)
+                return self.conv_out(x)
+
+        torch.manual_seed(0)
+        tmodel = TorchFastPose()
+        tmodel.eval()
+
+        from mvsmplfitting_tpu.detect.torch_import import (
+            fastpose_params_from_module,
+        )
+
+        variables = fastpose_params_from_module(tmodel)
+        img = rng.uniform(-1, 1, size=(1, 64, 48, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(img).permute(0, 3, 1, 2)
+                          ).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(FastPose(num_joints=26).apply(
+            variables, jnp.asarray(img)))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)

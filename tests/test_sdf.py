@@ -1,0 +1,164 @@
+"""SDF voxelization and interpenetration-energy tests.
+
+Parity target: `sdf/sdf/csrc/sdf_cuda_kernel.cu:242-304` (phi = 0
+outside / min surface distance inside, voxel centers at
+-1 + (i+0.5)*2/(G-1), corner-ray parity) and the inline collision loss
+at `code/utils/fitting.py:352-394` (torch grid_sample semantics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.ops.sdf import (
+    collision_energy, grid_sample_trilinear, point_triangle_dist_sq,
+    ray_crossings, sdf_grid, sdf_grid_pallas, voxel_centers,
+)
+
+
+def icosphere(radius=0.5, center=(0.0, 0.0, 0.0), n=12, tilt=0.1):
+    """Simple UV sphere mesh, slightly tilted.
+
+    The tilt breaks grid-axis alignment: a perfectly axis-aligned UV
+    sphere makes the corner parity ray graze shared triangle edges,
+    which flips inside/outside for a fraction of voxels — an inherent
+    property of single-ray parity testing that the reference kernel
+    shares (its only guard is the det epsilon, `sdf_cuda_kernel.cu:114`).
+    """
+    lats = np.linspace(1e-3, np.pi - 1e-3, n)
+    lons = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    verts = []
+    for la in lats:
+        for lo in lons:
+            verts.append([
+                radius * np.sin(la) * np.cos(lo) + center[0],
+                radius * np.cos(la) + center[1],
+                radius * np.sin(la) * np.sin(lo) + center[2]])
+    verts.append([center[0], radius + center[1], center[2]])
+    verts.append([center[0], -radius + center[1], center[2]])
+    top, bot = len(verts) - 2, len(verts) - 1
+    faces = []
+    for i in range(n - 1):
+        for j in range(n):
+            a = i * n + j
+            b = i * n + (j + 1) % n
+            c = (i + 1) * n + j
+            d = (i + 1) * n + (j + 1) % n
+            faces += [[a, b, c], [b, d, c]]
+    for j in range(n):
+        faces.append([top, j, (j + 1) % n])
+        faces.append([bot, (n - 1) * n + (j + 1) % n, (n - 1) * n + j])
+    verts = np.asarray(verts, np.float32)
+    if tilt:
+        c, s = np.cos(tilt), np.sin(tilt)
+        rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        rx = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+        ctr = np.asarray(center, np.float32)
+        verts = (verts - ctr) @ (rz @ rx).T + ctr
+    return verts, np.asarray(faces, np.int32)
+
+
+class TestPrimitives:
+    def test_point_triangle_distance_cases(self):
+        a = jnp.asarray([0.0, 0.0, 0.0])
+        b = jnp.asarray([1.0, 0.0, 0.0])
+        c = jnp.asarray([0.0, 1.0, 0.0])
+        cases = [
+            ([0.25, 0.25, 1.0], 1.0),     # above interior
+            ([-1.0, -1.0, 0.0], 2.0),     # vertex A region
+            ([2.0, 0.0, 0.0], 1.0),       # vertex B region
+            ([0.5, -1.0, 0.0], 1.0),      # edge AB region
+            ([1.0, 1.0, 0.0], 0.5),       # edge BC region
+        ]
+        for p, want in cases:
+            got = float(point_triangle_dist_sq(
+                jnp.asarray(p), a, b, c))
+            np.testing.assert_allclose(got, want, rtol=1e-5,
+                                       err_msg=str(p))
+
+    def test_ray_crossing(self):
+        a = jnp.asarray([-1.0, -1.0, 0.5])
+        b = jnp.asarray([1.0, -1.0, 0.5])
+        c = jnp.asarray([0.0, 2.0, 0.5])
+        # Ray from origin toward (0,0,1): passes through triangle plane.
+        hit = ray_crossings(jnp.zeros(3), a, b, c,
+                            jnp.asarray([0.0, 0.0, 2.0]))
+        assert int(hit) == 1
+        # Opposite direction misses (t < 0).
+        miss = ray_crossings(jnp.zeros(3), a, b, c,
+                             jnp.asarray([0.0, 0.0, -2.0]))
+        assert int(miss) == 0
+
+
+class TestSdfGrid:
+    def test_sphere_inside_outside_and_distance(self):
+        verts, faces = icosphere(radius=0.6, n=16)
+        G = 24
+        phi = np.asarray(sdf_grid(jnp.asarray(verts), jnp.asarray(faces),
+                                  G))
+        centers = np.asarray(voxel_centers(G)).reshape(G, G, G, 3)
+        r = np.linalg.norm(centers, axis=-1)
+        inside = r < 0.55           # clear margin from the faceted surface
+        outside = r > 0.65
+        assert (phi[outside] == 0).all()
+        assert (phi[inside] > 0).all()
+        # Inside distances approximate (0.6 - r) (faceted -> loose tol).
+        want = 0.6 - r[inside]
+        np.testing.assert_allclose(phi[inside], want, atol=0.03)
+
+    def test_pallas_interpret_matches_jnp(self):
+        verts, faces = icosphere(radius=0.55, n=10)
+        G = 16
+        phi_ref = np.asarray(sdf_grid(jnp.asarray(verts),
+                                      jnp.asarray(faces), G))
+        phi_pl = np.asarray(sdf_grid_pallas(
+            jnp.asarray(verts), jnp.asarray(faces), G, face_chunk=64,
+            interpret=True))
+        np.testing.assert_allclose(phi_pl, phi_ref, atol=1e-5)
+
+
+class TestGridSample:
+    def test_matches_torch_grid_sample(self, rng):
+        import torch
+        import torch.nn.functional as tF
+
+        G = 9
+        phi = rng.standard_normal((G, G, G)).astype(np.float32)
+        coords = rng.uniform(-1.2, 1.2, size=(50, 3)).astype(np.float32)
+
+        got = np.asarray(grid_sample_trilinear(jnp.asarray(phi),
+                                               jnp.asarray(coords)))
+        want = tF.grid_sample(
+            torch.from_numpy(phi)[None, None],
+            torch.from_numpy(coords).view(1, -1, 1, 1, 3),
+            mode="bilinear", padding_mode="zeros",
+            align_corners=False).view(-1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestCollisionEnergy:
+    def test_overlap_penalized_separation_not(self):
+        v1, faces = icosphere(radius=0.5, center=(0, 0, 0), n=12)
+        v2_overlap, _ = icosphere(radius=0.5, center=(0.3, 0, 0), n=12)
+        v2_apart, _ = icosphere(radius=0.5, center=(2.5, 0, 0), n=12)
+
+        e_overlap = float(collision_energy(
+            jnp.stack([v1, v2_overlap]), jnp.asarray(faces),
+            jnp.asarray(1.0), grid_size=24))
+        e_apart = float(collision_energy(
+            jnp.stack([v1, v2_apart]), jnp.asarray(faces),
+            jnp.asarray(1.0), grid_size=24))
+        # Self-sampling contributes a little (the reference keeps it);
+        # overlap must dominate clearly.
+        assert e_overlap > 4 * max(e_apart, 1e-8)
+
+    def test_gradient_flows_through_positions_only(self):
+        v1, faces = icosphere(radius=0.5, center=(0, 0, 0), n=8)
+        v2, _ = icosphere(radius=0.5, center=(0.4, 0, 0), n=8)
+        verts = jnp.stack([v1, v2])
+
+        g = jax.grad(lambda v: collision_energy(
+            v, jnp.asarray(faces), jnp.asarray(1.0), grid_size=16))(verts)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0

@@ -1,0 +1,76 @@
+"""Keypoint-prediction CLI (= reference `code/keypoint_predict.py`).
+
+Walks `data/images/<serial>/<CameraXX>/*.jpg`, runs the batched
+detector + pose pipeline per frame across all cameras at once, and
+writes OpenPose-format keypoint JSONs the fitting stage consumes.
+
+    python -m mvsmplfitting_tpu.cli.keypoints \
+        --data_folder <dir> [--yolox_ckpt x.pth] [--pose_ckpt y.pth]
+
+Without checkpoints the networks run randomly initialized (useful only
+for pipeline smoke tests; detections will be garbage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_folder", required=True)
+    p.add_argument("--img_folder", default="images")
+    p.add_argument("--keyp_folder", default="keypoints")
+    p.add_argument("--yolox_ckpt", default=None)
+    p.add_argument("--pose_ckpt", default=None)
+    p.add_argument("--det_thresh", type=float, default=0.1)
+    args = p.parse_args(argv)
+
+    from ..detect.predictor import (KeypointPipeline, PersonDetector,
+                                    PoseEstimator)
+
+    det_params = pose_params = None
+    if args.yolox_ckpt:
+        from ..detect.convert import convert_yolox
+        det_params = convert_yolox(args.yolox_ckpt)
+    if args.pose_ckpt:
+        from ..detect.convert import convert_fastpose
+        pose_params = convert_fastpose(args.pose_ckpt)
+
+    pipeline = KeypointPipeline(
+        PersonDetector(det_params, conf_thresh=args.det_thresh),
+        PoseEstimator(pose_params))
+
+    img_root = os.path.join(args.data_folder, args.img_folder)
+    keyp_root = os.path.join(args.data_folder, args.keyp_folder)
+
+    start = time.time()
+    n = 0
+    for serial in sorted(os.listdir(img_root)):
+        sdir = os.path.join(img_root, serial)
+        if not os.path.isdir(sdir):
+            continue
+        cams = sorted(d for d in os.listdir(sdir)
+                      if os.path.isdir(os.path.join(sdir, d)))
+        frames = {}
+        for cam in cams:
+            for fn in sorted(os.listdir(os.path.join(sdir, cam))):
+                if fn.lower().endswith((".jpg", ".png")):
+                    frames.setdefault(fn, []).append(
+                        (cam, os.path.join(sdir, cam, fn)))
+        for fn, entries in sorted(frames.items()):
+            cam_names = [c for c, _ in entries]
+            paths = [pth for _, pth in entries]
+            pipeline.process_images(paths, keyp_root, serial, cam_names)
+            n += 1
+            print(f"{serial}/{fn}: {len(paths)} views")
+    dt = time.time() - start
+    print(f"Processed {n} frame(s) in {dt:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

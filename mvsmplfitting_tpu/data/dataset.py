@@ -144,30 +144,46 @@ class FittingDataset:
         view_mask = np.zeros((V,), np.float32)
         person_mask = np.zeros((V, P), np.float32)
         img_paths: List[Optional[str]] = []
+        keyp_paths: List[Optional[str]] = []
         joints3d = None
         hw = None
 
-        for v, (cam, fname) in enumerate(zip(cams, fnames)):
+        for cam, fname in zip(cams, fnames):
             img_path = os.path.join(self.img_root, serial, cam, fname)
             stem = os.path.splitext(fname)[0]
             keyp_path = os.path.join(self.keyp_root, serial, cam,
                                      stem + "_keypoints.json")
             img_paths.append(img_path)
-            if not os.path.exists(keyp_path):
-                continue
-            people = read_keypoints_json(keyp_path, K)
-            if not people:
-                continue
-            view_mask[v] = 1.0
-            for p, person in enumerate(people[:P]):
-                kp[v, p, :person.shape[0]] = person[:K]
-                person_mask[v, p] = 1.0
-            if hw is None:
-                hw = _jpeg_size(img_path)
-            if self.use_3d and joints3d is None:
-                j3d = read_joints3d_json(keyp_path)
-                if j3d:
-                    joints3d = j3d[0]
+            keyp_paths.append(keyp_path
+                              if os.path.exists(keyp_path) else None)
+
+        from . import native
+        if native.available() and not self.use_3d:
+            # Native path: all views parsed in one threaded call.
+            kp, people = native.parse_keypoints_batch(keyp_paths, P, K)
+            for v in range(V):
+                if people[v] > 0:
+                    view_mask[v] = 1.0
+                    person_mask[v, :people[v]] = 1.0
+                    if hw is None:
+                        hw = _jpeg_size(img_paths[v])
+        else:
+            for v, keyp_path in enumerate(keyp_paths):
+                if keyp_path is None:
+                    continue
+                people = read_keypoints_json(keyp_path, K)
+                if not people:
+                    continue
+                view_mask[v] = 1.0
+                for p, person in enumerate(people[:P]):
+                    kp[v, p, :person.shape[0]] = person[:K]
+                    person_mask[v, p] = 1.0
+                if hw is None:
+                    hw = _jpeg_size(img_paths[v])
+                if self.use_3d and joints3d is None:
+                    j3d = read_joints3d_json(keyp_path)
+                    if j3d:
+                        joints3d = j3d[0]
 
         frame_name = os.path.splitext(fnames[0])[0]
         return FrameData(serial=serial, frame_name=frame_name,

@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..fitting import energy as E
 from ..fitting.energy import EnergySpec, Observations, StageWeights
@@ -138,7 +138,7 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
         shard_map, mesh=mesh,
         in_specs=(cam_spec, obs_spec),
         out_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS)),
-        check_rep=False)
+        check_vma=False)
     def run(cam_l: Camera, obs_l: Observations):
         def one_frame(o: Observations):
             # Initialization needs all views: triangulation's 3x3 normal

@@ -31,7 +31,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..fitting import energy as E
 from ..fitting.energy import EnergySpec, Observations, StageWeights
@@ -213,7 +213,7 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
             body, mesh=mesh,
             in_specs=(obs_spec, P(FRAMES_AXIS), P()),
             out_specs=(P(FRAMES_AXIS), P(), P(FRAMES_AXIS)),
-            check_rep=False)
+            check_vma=False)
         xf, xs, losses = fn(obs, xf0, xs0)
 
     B = xf.shape[0]

@@ -150,12 +150,18 @@ def free_mask(spec: EnergySpec) -> jnp.ndarray:
 
 def _forward(spec: EnergySpec, assets: SMPLAssets,
              vposer_w: Optional[vposer_lib.VPoserWeights],
-             x: jnp.ndarray):
+             x: jnp.ndarray, need_verts: bool = False):
     params, z = unpack(spec, x)
     if spec.use_vposer:
         body_pose = vposer_lib.decode(vposer_w, z)
     else:
         body_pose = params.body_pose
+    if assets.joint_model is not None and not need_verts:
+        # Reduced path: mapped joints without any 6890-vertex work
+        # (exact algebra fold of LBS; see models/joint_model.py).
+        from ..models.joint_model import joint_forward
+        joints = joint_forward(assets.joint_model, params, body_pose)
+        return params, z, body_pose, None, joints
     verts, joints = smpl_forward(assets, params, body_pose)
     return params, z, body_pose, verts, joints
 
@@ -173,8 +179,9 @@ def energy_terms(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
                  vposer_w: Optional[vposer_lib.VPoserWeights],
                  gmm: Optional[GMMPrior], x: jnp.ndarray) -> dict:
     """All energy terms as a dict of scalars (see `total_energy`)."""
+    need_verts = spec.interpenetration and weights.coll_on
     params, z, body_pose, verts, joints = _forward(
-        spec, assets, vposer_w, x)
+        spec, assets, vposer_w, x, need_verts=need_verts)
 
     proj = project_points(cam, joints)                    # (V, K, 2)
     diff = gmof(obs.gt2d - proj, spec.rho)                # (V, K, 2)

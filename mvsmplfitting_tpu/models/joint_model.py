@@ -1,0 +1,145 @@
+"""Reduced joint model: the LBS -> joint pipeline with vertices folded
+out.
+
+The fitting energy only consumes the K mapped annotation joints, and
+every vertex-derived joint is *linear* in the posed vertices:
+
+    joints_k = sum_v G[k,v] * verts_v
+    verts_v  = sum_j W[v,j] * A_j[:3,:4] @ [v_posed_v; 1]
+    v_posed  = v_template + shapedirs @ beta + posedirs^T @ posefeat
+
+so, defining GW[k,j,v] = G[k,v] * W[v,j],
+
+    joints_k = sum_j A_j[:3,:4] @ H_kj,
+    H_kj     = H0_kj + Hb_kj @ beta + Hp_kj @ posefeat
+
+with H0 (K,24,4), Hb (K,24,3,NB), Hp (K,24,3,207) all *precomputed
+constants*.  The 6890-vertex blend-shape / pose-offset / skinning
+matmuls (the reference's per-iteration hot ops, `lbs.py:179-212`)
+disappear from the optimization loop entirely — the per-iteration cost
+drops from ~20 MFLOP to ~0.3 MFLOP per body, a ~50x reduction that
+multiplies across the ~50 Jacobian JVPs of the Gauss-Newton solver.
+Chain-derived joints (model_type 'smpl' body joints) come from the
+kinematic chain as before; the rest-joint regressor is likewise reduced
+to j0 + JB @ beta.
+
+Exactness: this is algebra, not approximation — outputs match
+`smpl_forward` to float32 round-off (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.rotations import rodrigues
+from .smpl import SMPLAssets, SMPLParams, _rigid_chain
+
+
+@struct.dataclass
+class JointModel:
+    """Precomputed reduced model for the K mapped annotation joints."""
+
+    H0: jnp.ndarray        # (K, 24, 4)
+    Hb: jnp.ndarray        # (K, 24, 3, NB)
+    Hp: jnp.ndarray        # (K, 24, 3, 207)
+    j0: jnp.ndarray        # (24, 3) rest joints at beta=0
+    JB: jnp.ndarray        # (24, 3, NB) rest-joint shape basis
+    chain_idx: jnp.ndarray  # (K,) int32: source chain joint or -1
+    chain_mask: jnp.ndarray  # (K,) 1.0 where chain-derived
+    parents: Tuple[int, ...] = struct.field(pytree_node=False)
+
+
+def build_joint_model(assets: SMPLAssets) -> JointModel:
+    """Precompute the reduced tensors from full SMPL assets (one-time)."""
+    V = assets.num_verts
+    K = int(assets.joint_map.shape[0])
+    NB = assets.num_betas
+
+    joint_map = np.asarray(assets.joint_map)
+    extra_ids = np.asarray(assets.extra_joint_ids)
+
+    # Decide per mapped slot: chain joint (index into 24) or vertex row.
+    if assets.model_type == "smpllsp":
+        num_base = int(assets.lsp_regressor.shape[0])
+        base_rows = np.asarray(assets.lsp_regressor)      # vertex-derived
+        base_is_chain = np.zeros(num_base, bool)
+    else:
+        num_base = 24
+        base_rows = None
+        base_is_chain = np.ones(num_base, bool)
+
+    G = np.zeros((K, V), np.float32)
+    chain_idx = np.full((K,), -1, np.int32)
+    for k, src in enumerate(joint_map):
+        if src < num_base:
+            if base_is_chain[src]:
+                chain_idx[k] = src
+            else:
+                G[k] = base_rows[src]
+        else:
+            G[k, extra_ids[src - num_base]] = 1.0
+    chain_mask = (chain_idx >= 0).astype(np.float32)
+
+    W = np.asarray(assets.lbs_weights)                    # (V, 24)
+    GW = np.einsum("kv,vj->kjv", G, W)                    # (K, 24, V)
+
+    vt = np.asarray(assets.v_template)
+    vt_h = np.concatenate([vt, np.ones((V, 1), np.float32)], 1)
+    H0 = np.einsum("kjv,vc->kjc", GW, vt_h)               # (K, 24, 4)
+
+    S = np.asarray(assets.shapedirs)                      # (V, 3, NB)
+    Hb = np.einsum("kjv,vcb->kjcb", GW, S)                # (K, 24, 3, NB)
+
+    Pd = np.asarray(assets.posedirs)                      # (207, V*3)
+    Pd = Pd.reshape(207, V, 3)
+    Hp = np.einsum("kjv,pvc->kjcp", GW, Pd)               # (K, 24, 3, 207)
+
+    JR = np.asarray(assets.j_regressor)                   # (24, V)
+    j0 = JR @ vt                                          # (24, 3)
+    JB = np.einsum("jv,vcb->jcb", JR, S)                  # (24, 3, NB)
+
+    return JointModel(
+        H0=jnp.asarray(H0), Hb=jnp.asarray(Hb), Hp=jnp.asarray(Hp),
+        j0=jnp.asarray(j0), JB=jnp.asarray(JB),
+        chain_idx=jnp.asarray(np.maximum(chain_idx, 0)),
+        chain_mask=jnp.asarray(chain_mask),
+        parents=assets.parents)
+
+
+def with_joint_model(assets: SMPLAssets) -> SMPLAssets:
+    """Return assets carrying their precomputed reduced joint model."""
+    return assets.replace(joint_model=build_joint_model(assets))
+
+
+def joint_forward(jm: JointModel, params: SMPLParams,
+                  body_pose: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mapped annotation joints (K, 3) without touching vertices."""
+    pose = body_pose if body_pose is not None else params.body_pose
+    full_pose = jnp.concatenate([params.global_orient, pose])
+
+    dtype = jm.H0.dtype
+    betas = params.betas.astype(dtype)
+    j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
+
+    rot_mats = rodrigues(full_pose.reshape(24, 3))
+    posed_joints, A = _rigid_chain(rot_mats, j_rest, jm.parents,
+                                   params.scale)
+
+    ident = jnp.eye(3, dtype=dtype)
+    pf = (rot_mats[1:] - ident).reshape(-1)               # (207,)
+
+    H = (jm.H0
+         + jnp.concatenate(
+             [jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
+              + jnp.einsum("kjcp,p->kjc", jm.Hp, pf),
+              jnp.zeros(jm.H0.shape[:2] + (1,), dtype)], axis=-1))
+
+    vert_joints = jnp.einsum("jab,kjb->ka", A[:, :3, :4], H)
+    chain_joints = posed_joints[jm.chain_idx]
+    joints = jnp.where(jm.chain_mask[:, None], chain_joints, vert_joints)
+    return joints + params.transl

@@ -43,6 +43,10 @@ class SMPLAssets:
     extra_joint_ids: jnp.ndarray  # (E,) int32  surface keypoints to append
     joint_map: jnp.ndarray       # (K,) int32  model joints -> annotation order
     lsp_regressor: Optional[jnp.ndarray] = None  # (14, V) for model_type smpllsp
+    # Optional precomputed reduced joint model (see models/joint_model.py):
+    # lets the energy skip all 6890-vertex work; built via
+    # `joint_model.with_joint_model(assets)`.
+    joint_model: Optional[object] = None
 
     parents: Tuple[int, ...] = struct.field(
         pytree_node=False, default=J.SMPL_PARENTS)

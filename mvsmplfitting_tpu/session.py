@@ -61,6 +61,8 @@ def build_session(cfg: Config) -> Session:
             raise
         assets = synthetic_smpl(cfg.model_type)
         synthetic = True
+    from .models.joint_model import with_joint_model
+    assets = with_joint_model(assets)
 
     cameras = load_cameras_txt(cfg.cam_param)
 

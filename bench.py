@@ -33,6 +33,55 @@ def _fit_fn(cfg, assets, vposer_w, cam):
     return one_frame
 
 
+def sweep():
+    """Extended measurements (BASELINE.json configs 2-3): camera-count
+    sweep and Schur shared-shape sequence throughput.  Not part of the
+    driver's single-line contract — run `python bench.py --sweep`."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_problem
+    from mvsmplfitting_tpu.fitting import FitConfig
+    from mvsmplfitting_tpu.fitting.lm import LMOptions
+
+    cfg = FitConfig(lm=LMOptions(max_iters=40))
+    out = {}
+    for views in (2, 4, 8):
+        assets, vw, cam, obs1 = _make_problem(num_views=views,
+                                              num_frames=1)
+        one = _fit_fn(cfg, assets, vw, cam)
+        B = 128
+        obs = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), obs1)
+        f = jax.jit(jax.vmap(one))
+        jax.block_until_ready(f(obs))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(f(obs))
+        fps = B / ((time.perf_counter() - t0) / 3)
+        out[f"views{views}_fps"] = round(fps, 1)
+
+    # Schur shared-shape sequence (config 2).
+    from mvsmplfitting_tpu.fitting import init_guess
+    from mvsmplfitting_tpu.parallel.schur import schur_sequence_fit
+    assets, vw, cam, obs1 = _make_problem(num_views=6, num_frames=1)
+    B = 64
+    obs = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), obs1)
+    guess = init_guess(assets, cam, obs1.gt2d, obs1.conf, obs1.view_mask)
+    p0 = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), guess.params)
+    z0 = jnp.broadcast_to(guess.z, (B, 32))
+    f = jax.jit(lambda o, p, z: schur_sequence_fit(
+        cfg, assets, cam, o, p, z, vposer_w=vw, img_height=1080.0))
+    jax.block_until_ready(f(obs, p0, z0)[2])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(f(obs, p0, z0)[2])
+    out["schur_seq_fps"] = round(B / ((time.perf_counter() - t0) / 3), 1)
+    print(json.dumps({"metric": "bench_sweep", "detail": out}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -41,7 +90,7 @@ def main():
     from mvsmplfitting_tpu.fitting import FitConfig
     from mvsmplfitting_tpu.fitting.lm import LMOptions
 
-    BATCH = 64
+    BATCH = 256  # measured knee of the throughput curve on one v5e chip
     cfg = FitConfig(lm=LMOptions(max_iters=40))
 
     assets, vposer_w, cam, obs1 = _make_problem(num_views=6, num_frames=1)
@@ -98,4 +147,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

@@ -52,6 +52,73 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _save_frame_outputs(cfg, sess, frame, result, result_root,
+                        mesh_root, image_root):
+    out = FitOutputs(
+        betas=np.asarray(result.params.betas),
+        global_orient=np.asarray(result.params.global_orient),
+        transl=np.asarray(result.params.transl),
+        scale=np.asarray(result.params.scale),
+        body_pose=np.asarray(result.body_pose),
+        pose_embedding=np.asarray(result.z),
+        loss=float(result.loss))
+    frame_dir = os.path.join(result_root, frame.serial, frame.frame_name)
+    saved = save_result_pkl(os.path.join(frame_dir, "000.pkl"), out)
+
+    if cfg.save_meshes or cfg.save_images:
+        final_params = result.params.replace(
+            body_pose=jnp.asarray(saved["body_pose"][0]),
+            global_orient=jnp.asarray(saved["pose"][0, :3]))
+        verts, joints = smpl_forward(sess.assets, final_params)
+        if cfg.save_meshes:
+            save_obj(os.path.join(mesh_root, frame.serial,
+                                  frame.frame_name, "000.obj"),
+                     np.asarray(verts), np.asarray(sess.assets.faces))
+        if cfg.save_images:
+            from ..viz.overlay import save_overlays
+            save_overlays(os.path.join(image_root, frame.serial,
+                                       frame.frame_name),
+                          frame, sess.cameras, np.asarray(verts),
+                          np.asarray(sess.assets.faces),
+                          np.asarray(joints))
+
+
+def run_batched(cfg, sess, result_root, mesh_root, image_root) -> int:
+    """Batched mode: fit `batch_frames` frames per device program
+    (init + fit fused; see parallel/batched.py)."""
+    from ..data.dataset import frame_to_observations
+    from ..parallel.batched import BatchedFitInputs, batched_fit_frames
+
+    frames = list(sess.dataset)
+    n_done = 0
+    B = cfg.batch_frames
+    for i in range(0, len(frames), B):
+        chunk = frames[i:i + B]
+        pad = B - len(chunk)
+        obs_list = [frame_to_observations(f, sess.joint_weights)
+                    for f in chunk]
+        obs_list += [obs_list[-1]] * pad          # pad with repeats
+        heights = [float(f.img_hw[0]) for f in chunk]
+        heights += [heights[-1]] * pad
+        batch = BatchedFitInputs(
+            obs=jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list),
+            img_height=jnp.asarray(heights))
+        t0 = time.time()
+        out = batched_fit_frames(
+            sess.fit_config, sess.assets, sess.cameras, batch,
+            vposer_w=sess.vposer, gmm=sess.gmm,
+            est_scale=not cfg.fix_scale)
+        jax.block_until_ready(out.loss)
+        print(f"  batch of {len(chunk)} fit in {time.time() - t0:.2f}s "
+              f"(mean loss {float(np.mean(np.asarray(out.loss))):.2f})")
+        for b, frame in enumerate(chunk):
+            result = jax.tree.map(lambda a, b=b: a[b], out)
+            _save_frame_outputs(cfg, sess, frame, result, result_root,
+                                mesh_root, image_root)
+            n_done += 1
+    return n_done
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     overrides = {k: v for k, v in vars(args).items()
@@ -72,6 +139,15 @@ def main(argv=None) -> int:
               "(fits run, parameters are not human-shaped)")
 
     fixed_scale = cfg.scale if (cfg.fix_scale and cfg.scale) else 1.0
+
+    if cfg.batch_frames > 1 and not cfg.is_seq:
+        start = time.time()
+        n_frames = run_batched(cfg, sess, result_root, mesh_root,
+                               image_root)
+        elapsed = time.time() - start
+        print(f"Processed {n_frames} frame(s) in {elapsed:.2f}s "
+              f"({n_frames / max(elapsed, 1e-9):.3f} frames/s)")
+        return 0
 
     fit_jit = jax.jit(lambda obs, p, z, h, seq_start: fit_frame(
         sess.fit_config, sess.assets, sess.cameras, obs, p, z,
@@ -108,35 +184,8 @@ def main(argv=None) -> int:
               f"in {time.time() - t0:.2f}s")
         prev = (result.params, result.z, result.loss)
         n_frames += 1
-
-        out = FitOutputs(
-            betas=np.asarray(result.params.betas),
-            global_orient=np.asarray(result.params.global_orient),
-            transl=np.asarray(result.params.transl),
-            scale=np.asarray(result.params.scale),
-            body_pose=np.asarray(result.body_pose),
-            pose_embedding=np.asarray(result.z),
-            loss=float(result.loss))
-        frame_dir = os.path.join(result_root, frame.serial,
-                                 frame.frame_name)
-        saved = save_result_pkl(os.path.join(frame_dir, "000.pkl"), out)
-
-        if cfg.save_meshes or cfg.save_images:
-            final_params = result.params.replace(
-                body_pose=jnp.asarray(saved["body_pose"][0]),
-                global_orient=jnp.asarray(saved["pose"][0, :3]))
-            verts, joints = smpl_forward(sess.assets, final_params)
-            if cfg.save_meshes:
-                save_obj(os.path.join(mesh_root, frame.serial,
-                                      frame.frame_name, "000.obj"),
-                         np.asarray(verts), np.asarray(sess.assets.faces))
-            if cfg.save_images:
-                from ..viz.overlay import save_overlays
-                save_overlays(os.path.join(image_root, frame.serial,
-                                           frame.frame_name),
-                              frame, sess.cameras, np.asarray(verts),
-                              np.asarray(sess.assets.faces),
-                              np.asarray(joints))
+        _save_frame_outputs(cfg, sess, frame, result, result_root,
+                            mesh_root, image_root)
 
     elapsed = time.time() - start
     print(f"Processed {n_frames} frame(s) in {elapsed:.2f}s "

@@ -22,3 +22,5 @@ from .stages import (
     fit_frame,
     stage_weights_table,
 )
+from .adjust import refit_with_observations
+from .multi_person import fit_people

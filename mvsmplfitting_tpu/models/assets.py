@@ -67,6 +67,8 @@ def _build(raw: dict, model_type: str, gender: str,
     parents = (-1,) + parents[1:]
 
     fmt = pose_format or J.pose_format_for_model(model_type)
+    vertex_set = "smplx" if model_type == "smplx" else "smplh"
+    use_feet = model_type == "smplx"  # coco25 includes foot keypoints
     return SMPLAssets(
         v_template=jnp.asarray(raw["v_template"], dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
@@ -74,7 +76,8 @@ def _build(raw: dict, model_type: str, gender: str,
         j_regressor=jnp.asarray(_to_dense(raw["J_regressor"]), dtype),
         lbs_weights=jnp.asarray(raw["weights"], dtype),
         faces=jnp.asarray(np.asarray(raw["f"], np.int64), jnp.int32),
-        extra_joint_ids=jnp.asarray(J.extra_joint_ids("smplh"), jnp.int32),
+        extra_joint_ids=jnp.asarray(
+            J.extra_joint_ids(vertex_set, use_feet), jnp.int32),
         joint_map=jnp.asarray(J.model_to_annotation(model_type, fmt), jnp.int32),
         lsp_regressor=(None if lsp_regressor is None
                        else jnp.asarray(lsp_regressor, dtype)),
@@ -115,19 +118,24 @@ def load_smpl(model_folder: str, model_type: str = "smpl",
 def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
                    pose_format: Optional[str] = None,
                    dtype=jnp.float32) -> SMPLAssets:
-    """Deterministic synthetic SMPL-shaped model for tests and benchmarks.
+    """Deterministic synthetic SMPL-family model for tests and benchmarks.
 
-    Full production shapes (6890 verts, 13776 faces, 24 joints, real
-    kinematic tree) so kernels and solvers are exercised at real size, but
-    with generated geometry: a body-ish ellipsoid mesh, smooth joint
-    placements, distance-based skinning weights, and small random blend
-    shapes.  Usable wherever real SMPL pkls are unavailable.
+    Full production shapes (6890 verts / 24 joints for SMPL(-H: 52),
+    10475 verts / 55 joints for SMPL-X, real kinematic trees) so kernels
+    and solvers are exercised at real size, but with generated geometry:
+    a body-ish ellipsoid mesh, smooth joint placements, distance-based
+    skinning weights, and small random blend shapes.  Usable wherever
+    the license-gated model pkls are unavailable.
     """
     rng = np.random.default_rng(seed)
+    num_verts = 10475 if model_type == "smplx" else NUM_VERTS
 
     # Closed UV-sphere-ish mesh stretched into a body-like ellipsoid.
-    # 6890 = 2 + 82*84 grid.
-    n_lat, n_lon = 84, 82
+    # 6890 = 2 + 84*82 grid; 10475 = 2 + 101*103 + 70 extra points.
+    if model_type == "smplx":
+        n_lat, n_lon = 101, 103
+    else:
+        n_lat, n_lon = 84, 82
     lat = np.linspace(1e-2, np.pi - 1e-2, n_lat)
     lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
     lat_g, lon_g = np.meshgrid(lat, lon, indexing="ij")
@@ -137,7 +145,13 @@ def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
     grid = np.stack([xs, ys, zs], -1).reshape(-1, 3)
     poles = np.array([[0.0, 0.9, 0.0], [0.0, -0.9, 0.0]])
     v_template = np.concatenate([poles, grid], 0).astype(np.float32)
-    assert v_template.shape[0] == NUM_VERTS
+    if v_template.shape[0] < num_verts:
+        extra = rng.standard_normal((num_verts - v_template.shape[0], 3))
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        extra = extra * [0.25, 0.85, 0.15]
+        v_template = np.concatenate(
+            [v_template, extra.astype(np.float32)], 0)
+    assert v_template.shape[0] == num_verts
 
     # Triangulate the grid (two triangles per quad) + pole fans.
     def vid(i, j):
@@ -153,7 +167,9 @@ def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
             c, d = vid(i + 1, j), vid(i + 1, j + 1)
             tris.append([a, b, c])
             tris.append([b, d, c])
-    faces = np.asarray(tris, np.int32)[:NUM_FACES]
+    faces = np.asarray(tris, np.int32)
+    if model_type != "smplx":
+        faces = faces[:NUM_FACES]
 
     # Joints along a plausible skeleton layout inside the body.
     joint_pos = np.array([
@@ -183,19 +199,47 @@ def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
         [-0.25, -0.06, 0.0],  # R hand
     ], np.float32)
 
+    parents = J.parents_for_model(model_type)
+    nj = len(parents)
+    if nj > 24:
+        # SMPL-H / SMPL-X: body joints 0-21 shared with SMPL; extend
+        # with face joints (jaw + eyes near the head, SMPL-X only) and
+        # 5x3 finger chains fanning from each wrist.
+        body = joint_pos[:22]
+        pieces = [body]
+        if model_type == "smplx":
+            head = joint_pos[15]
+            pieces.append(np.asarray([
+                head + [0.0, -0.04, 0.05],   # jaw
+                head + [0.03, 0.02, 0.06],   # left eye
+                head + [-0.03, 0.02, 0.06],  # right eye
+            ], np.float32))
+        for sign in (1.0, -1.0):   # left, right
+            wrist = joint_pos[20 if sign > 0 else 21]
+            fingers = []
+            for f in range(5):
+                dz = (f - 2) * 0.012
+                for k in range(3):
+                    fingers.append(
+                        wrist + [sign * 0.02 * (k + 1), -0.01 * k, dz])
+            pieces.append(np.asarray(fingers, np.float32))
+        joint_pos = np.concatenate(pieces, 0)
+    assert joint_pos.shape[0] == nj, (joint_pos.shape, nj)
+
     # Joint regressor: soft-assign each joint to its nearest vertices so that
     # J_regressor @ v_template ~= joint_pos and rows sum to 1.
     d2 = ((joint_pos[:, None, :] - v_template[None, :, :]) ** 2).sum(-1)
     jr = np.exp(-d2 / 0.005)
     j_regressor = (jr / jr.sum(1, keepdims=True)).astype(np.float32)
 
-    # Skinning weights: softmax over inverse distance to the 24 joints.
+    # Skinning weights: softmax over inverse distance to the joints.
     w = np.exp(-d2.T / 0.02)
     lbs_weights = (w / w.sum(1, keepdims=True)).astype(np.float32)
 
-    shapedirs = (0.01 * rng.standard_normal((NUM_VERTS, 3, J.NUM_BETAS))
+    num_pose = 9 * (nj - 1)
+    shapedirs = (0.01 * rng.standard_normal((num_verts, 3, J.NUM_BETAS))
                  ).astype(np.float32)
-    posedirs = (0.001 * rng.standard_normal((207, NUM_VERTS * 3))
+    posedirs = (0.001 * rng.standard_normal((num_pose, num_verts * 3))
                 ).astype(np.float32)
 
     lsp = None
@@ -207,11 +251,11 @@ def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
     raw = {
         "v_template": v_template,
         "shapedirs": shapedirs,
-        "posedirs": posedirs.T.reshape(NUM_VERTS, 3, 207),
+        "posedirs": posedirs.T.reshape(num_verts, 3, num_pose),
         "J_regressor": j_regressor,
         "weights": lbs_weights,
         "f": faces,
         "kintree_table": np.stack([
-            np.asarray(J.SMPL_PARENTS), np.arange(24)]),
+            np.asarray(parents), np.arange(nj)]),
     }
     return _build(raw, model_type, "neutral", lsp, pose_format, dtype)

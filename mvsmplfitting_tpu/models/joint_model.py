@@ -64,12 +64,13 @@ def build_joint_model(assets: SMPLAssets) -> JointModel:
     extra_ids = np.asarray(assets.extra_joint_ids)
 
     # Decide per mapped slot: chain joint (index into 24) or vertex row.
+    nj = len(assets.parents)
     if assets.model_type == "smpllsp":
         num_base = int(assets.lsp_regressor.shape[0])
         base_rows = np.asarray(assets.lsp_regressor)      # vertex-derived
         base_is_chain = np.zeros(num_base, bool)
     else:
-        num_base = 24
+        num_base = nj
         base_rows = None
         base_is_chain = np.ones(num_base, bool)
 
@@ -85,23 +86,23 @@ def build_joint_model(assets: SMPLAssets) -> JointModel:
             G[k, extra_ids[src - num_base]] = 1.0
     chain_mask = (chain_idx >= 0).astype(np.float32)
 
-    W = np.asarray(assets.lbs_weights)                    # (V, 24)
-    GW = np.einsum("kv,vj->kjv", G, W)                    # (K, 24, V)
+    W = np.asarray(assets.lbs_weights)                    # (V, J)
+    GW = np.einsum("kv,vj->kjv", G, W)                    # (K, J, V)
 
     vt = np.asarray(assets.v_template)
     vt_h = np.concatenate([vt, np.ones((V, 1), np.float32)], 1)
-    H0 = np.einsum("kjv,vc->kjc", GW, vt_h)               # (K, 24, 4)
+    H0 = np.einsum("kjv,vc->kjc", GW, vt_h)               # (K, J, 4)
 
     S = np.asarray(assets.shapedirs)                      # (V, 3, NB)
-    Hb = np.einsum("kjv,vcb->kjcb", GW, S)                # (K, 24, 3, NB)
+    Hb = np.einsum("kjv,vcb->kjcb", GW, S)                # (K, J, 3, NB)
 
-    Pd = np.asarray(assets.posedirs)                      # (207, V*3)
-    Pd = Pd.reshape(207, V, 3)
-    Hp = np.einsum("kjv,pvc->kjcp", GW, Pd)               # (K, 24, 3, 207)
+    Pd = np.asarray(assets.posedirs)                      # (9(J-1), V*3)
+    Pd = Pd.reshape(-1, V, 3)
+    Hp = np.einsum("kjv,pvc->kjcp", GW, Pd)               # (K, J, 3, 9(J-1))
 
-    JR = np.asarray(assets.j_regressor)                   # (24, V)
-    j0 = JR @ vt                                          # (24, 3)
-    JB = np.einsum("jv,vcb->jcb", JR, S)                  # (24, 3, NB)
+    JR = np.asarray(assets.j_regressor)                   # (J, V)
+    j0 = JR @ vt                                          # (J, 3)
+    JB = np.einsum("jv,vcb->jcb", JR, S)                  # (J, 3, NB)
 
     return JointModel(
         H0=jnp.asarray(H0), Hb=jnp.asarray(Hb), Hp=jnp.asarray(Hp),
@@ -120,13 +121,19 @@ def joint_forward(jm: JointModel, params: SMPLParams,
                   body_pose: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Mapped annotation joints (K, 3) without touching vertices."""
     pose = body_pose if body_pose is not None else params.body_pose
+    J = len(jm.parents)
+    need = (J - 1) * 3
+    if pose.shape[-1] < need:   # SMPL-H/X: rest hands/face by default
+        pose = jnp.concatenate(
+            [pose, jnp.zeros(pose.shape[:-1] + (need - pose.shape[-1],),
+                             pose.dtype)], axis=-1)
     full_pose = jnp.concatenate([params.global_orient, pose])
 
     dtype = jm.H0.dtype
     betas = params.betas.astype(dtype)
     j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
 
-    rot_mats = rodrigues(full_pose.reshape(24, 3))
+    rot_mats = rodrigues(full_pose.reshape(J, 3))
     posed_joints, A = _rigid_chain(rot_mats, j_rest, jm.parents,
                                    params.scale)
 

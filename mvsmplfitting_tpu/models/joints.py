@@ -66,6 +66,36 @@ SMPL_PARENTS = (
     20, 21,
 )
 
+# Shared 22-joint body tree (SMPL joints 0-21) used by SMPL-H / SMPL-X.
+_BODY22 = SMPL_PARENTS[:22]
+
+# Per-hand finger chains: 5 fingers x 3 joints, each chain rooted at the
+# wrist (public SMPL-H/SMPL-X kinematic tables).
+def _hand(parent_wrist: int, start: int):
+    out = []
+    for f in range(5):
+        out += [parent_wrist, start + 3 * f, start + 3 * f + 1]
+    return tuple(out)
+
+
+# SMPL-H: 22 body + 15 left-hand + 15 right-hand = 52 joints.
+SMPLH_PARENTS = _BODY22 + _hand(20, 22) + _hand(21, 37)
+
+# SMPL-X: 22 body + jaw + leye + reye (all children of head 15) +
+# 15 + 15 hand joints = 55.
+SMPLX_PARENTS = _BODY22 + (15, 15, 15) + _hand(20, 25) + _hand(21, 40)
+
+
+def parents_for_model(model_type: str):
+    if model_type in ("smpl", "smpllsp"):
+        return SMPL_PARENTS
+    if model_type == "smplh":
+        return SMPLH_PARENTS
+    if model_type == "smplx":
+        return SMPLX_PARENTS
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
 NUM_SMPL_JOINTS = 24
 NUM_BODY_JOINTS = 23
 NUM_BETAS = 10
@@ -103,10 +133,14 @@ def model_to_annotation(model_type: str, pose_format: str) -> np.ndarray:
       coco25 (model_type=smplx):   OpenPose BODY_25
     """
     if pose_format == "coco17":
-        if model_type != "smpl":
-            raise ValueError(f"coco17 requires smpl, got {model_type}")
+        if model_type not in ("smpl", "smplh"):
+            raise ValueError(f"coco17 requires smpl/smplh, got {model_type}")
+        # Extras (face keypoints) are appended after the model's chain
+        # joints; body joint ids 0-21 are shared across the family.
+        nb = len(parents_for_model(model_type))
         return np.array(
-            [24, 25, 26, 27, 28, 16, 17, 18, 19, 20, 21, 1, 2, 4, 5, 7, 8],
+            [nb, nb + 1, nb + 2, nb + 3, nb + 4,
+             16, 17, 18, 19, 20, 21, 1, 2, 4, 5, 7, 8],
             dtype=np.int32,
         )
     if pose_format == "lsp14":

@@ -83,60 +83,62 @@ class SMPLParams:
         )
 
 
-def _rigid_chain(rot_mats: jnp.ndarray, joints24: jnp.ndarray,
+def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
                  parents: Tuple[int, ...], scale: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compose the kinematic tree; returns posed joints and skinning A.
 
-    rot_mats: (24, 3, 3); joints24: (24, 3) rest joints; scale: scalar.
+    rot_mats: (J, 3, 3); joints: (J, 3) rest joints; scale: scalar.
+    Generic over the joint count J (24 SMPL, 52 SMPL-H, 55 SMPL-X).
     The root transform's rotation block is multiplied by `scale`
     (reference `lbs.py:348`), which scales the whole body about the root.
     """
-    rel = joints24.at[1:].add(-joints24[np.asarray(parents[1:])])
-    T = transform_mat(rot_mats, rel)  # (24, 4, 4)
+    rel = joints.at[1:].add(-joints[np.asarray(parents[1:])])
+    T = transform_mat(rot_mats, rel)  # (J, 4, 4)
     root = T[0].at[:3, :3].multiply(scale)
 
-    # Static-topology unroll: 23 (4x4)@(4x4) matmuls; XLA fuses these.
+    # Static-topology unroll: J-1 (4x4)@(4x4) matmuls; XLA fuses these.
     chain = [root]
     for i in range(1, len(parents)):
         chain.append(chain[parents[i]] @ T[i])
-    transforms = jnp.stack(chain, axis=0)  # (24, 4, 4)
+    transforms = jnp.stack(chain, axis=0)  # (J, 4, 4)
 
     posed_joints = transforms[:, :3, 3]
     # Relative-to-rest transforms for skinning: subtract the transform of
     # the rest joint location (only affects the translation column).
-    correction = jnp.einsum("jab,jb->ja", transforms[:, :3, :3], joints24)
+    correction = jnp.einsum("jab,jb->ja", transforms[:, :3, :3], joints)
     A = transforms.at[:, :3, 3].add(-correction)
     return posed_joints, A
 
 
 def lbs(assets: SMPLAssets, betas: jnp.ndarray, full_pose: jnp.ndarray,
         scale: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Linear blend skinning for one body.
+    """Linear blend skinning for one body (generic joint count).
 
     Args:
       betas: (NB,) shape coefficients.
-      full_pose: (72,) axis-angle (root + 23 body joints).
+      full_pose: (J*3,) axis-angle (root + J-1 joints).
       scale: () root scale.
 
     Returns:
-      verts (V, 3), posed joints (24, 3) — both *before* translation.
+      verts (V, 3), posed joints (J, 3) — both *before* translation.
     """
     dtype = assets.v_template.dtype
+    J = len(assets.parents)
     v_shaped = assets.v_template + jnp.einsum(
         "vct,t->vc", assets.shapedirs, betas.astype(dtype))
-    j_rest = assets.j_regressor @ v_shaped  # (24, 3)
+    j_rest = assets.j_regressor @ v_shaped  # (J, 3)
 
-    rot_mats = rodrigues(full_pose.reshape(24, 3))  # (24, 3, 3)
+    rot_mats = rodrigues(full_pose.reshape(J, 3))  # (J, 3, 3)
     ident = jnp.eye(3, dtype=dtype)
-    pose_feature = (rot_mats[1:] - ident).reshape(-1)  # (207,)
+    pose_feature = (rot_mats[1:] - ident).reshape(-1)  # ((J-1)*9,)
     pose_offsets = (pose_feature @ assets.posedirs).reshape(-1, 3)
     v_posed = v_shaped + pose_offsets
 
     posed_joints, A = _rigid_chain(rot_mats, j_rest, assets.parents, scale)
 
-    # Per-vertex transforms: (V, 24) @ (24, 16) — one MXU matmul.
-    T = (assets.lbs_weights @ A.reshape(24, 16)).reshape(-1, 4, 4)
+    # Per-vertex transforms: (V, J) @ (J, 16) — one MXU matmul.
+    T = (assets.lbs_weights @ A.reshape(J, 16)).reshape(-1, 4, 4)
     verts = jnp.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3]
     return verts, posed_joints
 
@@ -150,8 +152,17 @@ def smpl_forward(assets: SMPLAssets, params: SMPLParams,
     regression from vertices) -> append surface keypoints -> gather into
     annotation order -> add translation.  `body_pose` overrides
     `params.body_pose` (used when the pose comes from the VPoser decoder).
+    For SMPL-H / SMPL-X assets a shorter body pose is zero-padded: hand,
+    jaw, and eye joints rest flat unless explicitly posed (the
+    reference's default hand/face behavior).
     """
     pose = body_pose if body_pose is not None else params.body_pose
+    J = len(assets.parents)
+    need = (J - 1) * 3
+    if pose.shape[-1] < need:
+        pose = jnp.concatenate(
+            [pose, jnp.zeros(pose.shape[:-1] + (need - pose.shape[-1],),
+                             pose.dtype)], axis=-1)
     full_pose = jnp.concatenate([params.global_orient, pose])
     verts, posed_joints = lbs(assets, params.betas, full_pose, params.scale)
 

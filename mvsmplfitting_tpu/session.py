@@ -68,16 +68,17 @@ def build_session(cfg: Config) -> Session:
 
     vposer = None
     if cfg.use_vposer:
-        try:
+        npz = os.path.join(cfg.prior_folder, "vposer_weights.npz")
+        bundled = os.path.join(os.path.dirname(__file__), "..",
+                               "assets", "vposer_weights.npz")
+        if os.path.exists(npz):
+            vposer = vposer_lib.load_npz(npz)
+        elif os.path.exists(bundled):
+            # Pre-converted copy of the reference's bundled snapshot;
+            # avoids re-running the torch converter every session.
+            vposer = vposer_lib.load_npz(bundled)
+        else:
             vposer = vposer_lib.load_vposer(cfg.prior_folder)
-        except FileNotFoundError:
-            # Converted weights shipped with this repo.
-            bundled = os.path.join(os.path.dirname(__file__), "..",
-                                   "assets", "vposer_weights.npz")
-            if os.path.exists(bundled):
-                vposer = vposer_lib.load_npz(bundled)
-            else:
-                raise
 
     gmm = None
     if not cfg.use_vposer and cfg.body_prior_type == "gmm":

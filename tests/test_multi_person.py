@@ -1,0 +1,76 @@
+"""Multi-person fitting with SDF coupling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.fitting import FitConfig
+from mvsmplfitting_tpu.fitting.energy import EnergySpec, Observations
+from mvsmplfitting_tpu.fitting.lm import LMOptions
+from mvsmplfitting_tpu.fitting.multi_person import fit_people
+from mvsmplfitting_tpu.models import vposer as vposer_lib
+from mvsmplfitting_tpu.models.assets import synthetic_smpl
+from mvsmplfitting_tpu.models.camera import project_points
+from mvsmplfitting_tpu.models.joint_model import with_joint_model
+from mvsmplfitting_tpu.models.smpl import SMPLParams, smpl_forward
+
+from test_triangulate import make_cameras
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.default_rng(7)
+    assets = with_joint_model(synthetic_smpl())
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "vposer_weights.npz")
+    vw = (vposer_lib.load_npz(path) if os.path.exists(path)
+          else vposer_lib.random_weights())
+    cam = make_cameras()
+
+    obs_list = []
+    for dx in (-0.25, 0.25):   # two people close together
+        z = jnp.asarray(0.2 * rng.standard_normal(32), jnp.float32)
+        true = SMPLParams(
+            betas=jnp.asarray(0.3 * rng.standard_normal(10),
+                              jnp.float32),
+            global_orient=jnp.asarray([0.1, 0.2, 0.0]),
+            body_pose=jnp.zeros(69),
+            transl=jnp.asarray([dx, -0.1, 0.2]),
+            scale=jnp.asarray(1.0))
+        body_pose = vposer_lib.decode(vw, z)
+        _, joints = smpl_forward(assets, true, body_pose)
+        gt2d = project_points(cam, joints)
+        K = gt2d.shape[1]
+        obs_list.append(Observations(
+            gt2d=gt2d, conf=jnp.ones((6, K)), view_mask=jnp.ones(6),
+            joint_weights=jnp.ones(K)))
+    obs_people = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+    return assets, vw, cam, obs_people
+
+
+class TestMultiPerson:
+    def test_independent_fits(self, setup):
+        assets, vw, cam, obs_people = setup
+        cfg = FitConfig(lm=LMOptions(max_iters=20))
+        results, sums = fit_people(cfg, assets, cam, obs_people,
+                                   vposer_w=vw, img_height=1080.0,
+                                   refine_collision=False)
+        assert results.loss.shape == (2,)
+        assert np.isfinite(np.asarray(results.loss)).all()
+        # Two distinct people recovered at distinct positions.
+        dx = float(results.params.transl[1, 0] -
+                   results.params.transl[0, 0])
+        assert 0.3 < dx < 0.7
+
+    def test_collision_refinement_runs(self, setup):
+        assets, vw, cam, obs_people = setup
+        spec = EnergySpec(interpenetration=True, coll_grid_size=16)
+        cfg = FitConfig(spec=spec, lm=LMOptions(max_iters=12))
+        results, sums = fit_people(cfg, assets, cam, obs_people,
+                                   vposer_w=vw, img_height=1080.0)
+        assert sums.shape == (2,)
+        assert np.isfinite(np.asarray(sums)).all()
+        assert np.isfinite(np.asarray(results.loss)).all()

@@ -14,9 +14,17 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: repeat bench runs skip the multi-minute
+# first compile through the TPU tunnel.  (TPU only — XLA:CPU AOT cache
+# entries embed machine features and can SIGILL across runners.)
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/mvsf_jax_cache")
 
 
 def _fit_fn(cfg, assets, vposer_w, cam):

@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--optim_type", type=str, default=None)
     p.add_argument("--maxiters", type=int, default=None)
     p.add_argument("--is_seq", action="store_true", default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="skip frames whose result pkl already exists")
     p.add_argument("--no_save_images", dest="save_images",
                    action="store_false", default=None)
     p.add_argument("--no_save_meshes", dest="save_meshes",
@@ -122,7 +124,7 @@ def run_batched(cfg, sess, result_root, mesh_root, image_root) -> int:
 def main(argv=None) -> int:
     args = parse_args(argv)
     overrides = {k: v for k, v in vars(args).items()
-                 if k != "config" and v is not None}
+                 if k not in ("config", "resume") and v is not None}
     cfg = load_config(args.config, **overrides)
     sess = build_session(cfg)
 
@@ -159,6 +161,25 @@ def main(argv=None) -> int:
     prev = None  # (params, z, loss) of previous frame for sequences
     n_frames = 0
     for frame in sess.dataset:
+        out_pkl = os.path.join(result_root, frame.serial,
+                               frame.frame_name, "000.pkl")
+        if args.resume and os.path.exists(out_pkl):
+            # Checkpoint/resume: results-as-checkpoint, like the
+            # reference's warm-start pkls (`utils.py:859-864`).
+            from ..data.results import load_result_pkl
+            from ..models.smpl import SMPLParams
+            prev_d = load_result_pkl(out_pkl)
+            prev = (SMPLParams(
+                betas=jnp.asarray(prev_d["betas"][0]),
+                global_orient=jnp.asarray(prev_d["global_orient"][0]),
+                body_pose=jnp.asarray(prev_d["body_pose"][0]),
+                transl=jnp.asarray(prev_d["transl"][0]),
+                scale=jnp.asarray(prev_d["scale"][0, 0])),
+                jnp.asarray(prev_d["pose_embedding"][0]),
+                jnp.asarray(prev_d["loss"]))
+            print(f"Skipping (resume): {frame.serial}/{frame.frame_name}")
+            n_frames += 1
+            continue
         obs = frame_to_observations(frame, sess.joint_weights)
         print(f"Processing: {frame.serial}/{frame.frame_name} "
               f"({int(np.sum(frame.view_mask))} views)")

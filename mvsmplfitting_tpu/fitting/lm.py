@@ -70,8 +70,11 @@ def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         return jnp.sum(r * r)
 
     def step(state: _LMState) -> _LMState:
-        r = residual_fn(state.x)
-        J = jax.jacfwd(residual_fn)(state.x) * mask[None, :]
+        # linearize shares the primal trace between r and the n JVPs
+        # (one residual evaluation fewer per iteration than jacfwd + a
+        # separate primal call).
+        r, lin = jax.linearize(residual_fn, state.x)
+        J = jax.vmap(lin)(eye).T * mask[None, :]   # (m, n)
         g = J.T @ r                       # (n,) gradient/2
         JtJ = J.T @ J
 

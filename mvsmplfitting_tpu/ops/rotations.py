@@ -122,6 +122,61 @@ def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
     return quaternion_to_axis_angle(matrix_to_quaternion(R))
 
 
+def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternions (..., 4) w-first -> rotation matrices (..., 3, 3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    two = 2.0
+    m = jnp.stack([
+        1 - two * (y * y + z * z), two * (x * y - z * w),
+        two * (x * z + y * w),
+        two * (x * y + z * w), 1 - two * (x * x + z * z),
+        two * (y * z - x * w),
+        two * (x * z - y * w), two * (y * z + x * w),
+        1 - two * (x * x + y * y),
+    ], axis=-1)
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def axis_angle_to_quaternion(aa: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> unit quaternions (..., 4), w-first."""
+    angle = jnp.linalg.norm(aa + _EPS, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    sin_half = jnp.sin(half) / angle
+    return jnp.concatenate([jnp.cos(half), aa * sin_half], axis=-1)
+
+
+def matrix_to_sixd(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices (..., 3, 3) -> 6D representation (..., 6).
+
+    Inverse of `sixd_to_matrix`'s layout: the first two columns,
+    interleaved as (..., 3, 2) flattened.
+    """
+    return R[..., :, :2].reshape(R.shape[:-2] + (6,))
+
+
+def euler_angles_to_matrix(euler: jnp.ndarray,
+                           convention: str = "XYZ") -> jnp.ndarray:
+    """Euler angles (..., 3) -> rotation matrices, extrinsic multiply
+    order R = R_c2(a2) @ R_c1(a1) @ R_c0(a0) matching PyTorch3D's
+    convention-string semantics (reference bundles that library,
+    `code/utils/rotation_conversions.py`)."""
+    def axis_rot(axis, a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        one = jnp.ones_like(a)
+        zero = jnp.zeros_like(a)
+        if axis == "X":
+            rows = [one, zero, zero, zero, c, -s, zero, s, c]
+        elif axis == "Y":
+            rows = [c, zero, s, zero, one, zero, -s, zero, c]
+        else:
+            rows = [c, -s, zero, s, c, zero, zero, zero, one]
+        return jnp.stack(rows, -1).reshape(a.shape + (3, 3))
+
+    mats = [axis_rot(c, euler[..., i])
+            for i, c in enumerate(convention)]
+    return mats[0] @ mats[1] @ mats[2]
+
+
 def sixd_to_matrix(sixd: jnp.ndarray) -> jnp.ndarray:
     """Continuous 6D rotation representation -> rotation matrices.
 

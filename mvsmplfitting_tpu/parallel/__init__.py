@@ -19,3 +19,4 @@ from .mesh import make_mesh, frames_sharding, MeshLayout
 from .batched import batched_fit_frames, BatchedFitInputs
 from .camera_shard import camera_sharded_fit
 from .schur import schur_sequence_fit
+from .distributed import init_distributed, global_mesh

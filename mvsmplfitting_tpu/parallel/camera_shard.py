@@ -69,13 +69,13 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
 
     def step(state):
         x, loss, lam, it, done = state
-        rd = data_res(x)
-        Jd = jax.jacfwd(data_res)(x) * mask[None, :]
+        rd, lin_d = jax.linearize(data_res, x)
+        Jd = jax.vmap(lin_d)(eye).T * mask[None, :]
         blocks = (Jd.T @ Jd, Jd.T @ rd)
         JtJ_d, g_d = jax.lax.psum(blocks, CAMERAS_AXIS)
 
-        rp = prior_res(x)
-        Jp = jax.jacfwd(prior_res)(x) * mask[None, :]
+        rp, lin_p = jax.linearize(prior_res, x)
+        Jp = jax.vmap(lin_p)(eye).T * mask[None, :]
         JtJ = JtJ_d + Jp.T @ Jp
         g = g_d + Jp.T @ rp
 

@@ -106,11 +106,12 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
                 xf, xs, loss, lam, it, done = state
 
                 def per_frame(xf_f, o):
-                    r = frame_residual(xf_f, xs, o)
-                    Jf = jax.jacfwd(frame_residual, argnums=0)(
-                        xf_f, xs, o)
-                    Js = jax.jacfwd(frame_residual, argnums=1)(
-                        xf_f, xs, o)
+                    r, lin = jax.linearize(
+                        lambda a, b: frame_residual(a, b, o), xf_f, xs)
+                    Jf = jax.vmap(
+                        lambda e: lin(e, jnp.zeros(ns)))(jnp.eye(nf)).T
+                    Js = jax.vmap(
+                        lambda e: lin(jnp.zeros(nf), e))(jnp.eye(ns)).T
                     A = Jf.T @ Jf
                     Bm = Jf.T @ Js
                     C = Js.T @ Js

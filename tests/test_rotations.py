@@ -75,3 +75,33 @@ def test_transform_mat():
     np.testing.assert_allclose(T[:3, :3], Rm, atol=1e-6)
     np.testing.assert_allclose(T[:3, 3], t, atol=1e-6)
     np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-6)
+
+
+class TestExtraConversions:
+    def test_quaternion_matrix_round_trip(self, rng):
+        from mvsmplfitting_tpu.ops.rotations import (
+            axis_angle_to_quaternion, matrix_to_axis_angle,
+            quaternion_to_matrix, rodrigues,
+        )
+        aa = jnp.asarray(0.7 * rng.standard_normal((8, 3)), jnp.float32)
+        R1 = rodrigues(aa)
+        R2 = quaternion_to_matrix(axis_angle_to_quaternion(aa))
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R1),
+                                   atol=1e-5)
+
+    def test_sixd_round_trip(self, rng):
+        from mvsmplfitting_tpu.ops.rotations import (
+            matrix_to_sixd, rodrigues, sixd_to_matrix,
+        )
+        aa = jnp.asarray(0.5 * rng.standard_normal((5, 3)), jnp.float32)
+        R = rodrigues(aa)
+        back = sixd_to_matrix(matrix_to_sixd(R))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(R),
+                                   atol=1e-5)
+
+    def test_euler_xyz(self):
+        from mvsmplfitting_tpu.ops.rotations import euler_angles_to_matrix
+        # 90 deg about Z only.
+        R = euler_angles_to_matrix(jnp.asarray([0.0, 0.0, np.pi / 2]))
+        np.testing.assert_allclose(
+            np.asarray(R), [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6)

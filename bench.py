@@ -98,7 +98,8 @@ def main():
     from mvsmplfitting_tpu.fitting import FitConfig
     from mvsmplfitting_tpu.fitting.lm import LMOptions
 
-    BATCH = 256  # measured knee of the throughput curve on one v5e chip
+    BATCH = 128  # measured optimum (stragglers in the vmapped
+    # while_loop erase gains beyond this)
     cfg = FitConfig(lm=LMOptions(max_iters=40))
 
     assets, vposer_w, cam, obs1 = _make_problem(num_views=6, num_frames=1)

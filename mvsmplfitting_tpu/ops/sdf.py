@@ -194,114 +194,176 @@ def sdf_grid(verts: jnp.ndarray, faces: jnp.ndarray, grid_size: int = 32,
 
 
 def sdf_grid_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
-                    grid_size: int = 128, face_chunk: int = 256,
+                    grid_size: int = 32, face_chunk: Optional[int] = None,
                     interpret: bool = False) -> jnp.ndarray:
     """phi grid (G, G, G) via a Pallas TPU kernel.
 
-    Layout: each program owns one z-slab of voxels as a (G, G) tile
-    (y sublanes x x lanes).  Faces stream through VMEM in chunks; a
-    per-chunk bounding box culls distance work: a chunk whose box is
-    farther from the slab's box than the slab's current worst running
-    min cannot improve any voxel.  Crossing parity (x/y-plane test
-    against the corner ray) cannot be culled by z, so it always runs —
-    it is 6 fused FMAs per face-voxel, VPU-bound but cheap.
+    Layout: grid = (z-slabs, face-chunks).  Each program owns one
+    z-slab of voxels *flattened into the lane axis* — tensors are
+    (C faces x G*G voxels), so faces broadcast along sublanes and voxel
+    coordinates come from a lane-axis iota (the only axis Mosaic
+    supports iota on for this rank).  All face math is vectorized VPU
+    arithmetic — no scalar face loops (those don't lower).  The running
+    min-distance and crossing-parity accumulate in the output refs
+    across the sequential chunk dimension; the parity -> phi combine
+    happens on the XLA side.
+
+    C is sized so the ~15 (C, G*G) fp32 temporaries of the distance
+    computation stay well inside VMEM.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = grid_size
+    N = G * G
+    if face_chunk is None:
+        # ~18 (C, N) fp32 temporaries live at once; keep them inside
+        # the 32M scoped-VMEM budget requested below.
+        face_chunk = max(8, min(128, (1 << 18) // N))
     F = faces.shape[0]
     pad = (-F) % face_chunk
-    tri = verts[faces]
+    tri = verts[faces]                                  # (F, 3, 3)
     if pad:
         tri = jnp.concatenate(
             [tri, jnp.full((pad, 3, 3), 1e6, tri.dtype)], axis=0)
     n_chunks = tri.shape[0] // face_chunk
-    # Precompute per-chunk bounding boxes on the host side of the kernel.
-    boxes = jnp.stack([
-        tri.reshape(n_chunks, face_chunk, 9).min(axis=1),
-        tri.reshape(n_chunks, face_chunk, 9).max(axis=1)], axis=1)
-    # (n_chunks, 2, 9) -> reduce xyz over the 3 triangle vertices
-    lo = boxes[:, 0].reshape(n_chunks, 3, 3).min(axis=1)   # (n_chunks, 3)
-    hi = boxes[:, 1].reshape(n_chunks, 3, 3).max(axis=1)
-    chunk_boxes = jnp.concatenate([lo, hi], axis=1)        # (n_chunks, 6)
+    # Per-face vertex components as 9 sublane-major columns.
+    tri_flat = tri.reshape(n_chunks, face_chunk, 9)
 
     dx = 2.0 / (G - 1)
 
-    def kernel(tri_ref, boxes_ref, phi_ref):
-        k = pl.program_id(0)                   # z-slab index
-        cz = -1.0 + (k + 0.5) * dx
-        # Voxel centers of this slab: (G, G) grids of x (lanes), y (subl).
-        xi = jax.lax.broadcasted_iota(jnp.float32, (G, G), 1)
-        yi = jax.lax.broadcasted_iota(jnp.float32, (G, G), 0)
-        cx = -1.0 + (xi + 0.5) * dx
-        cy = -1.0 + (yi + 0.5) * dx
+    def kernel(tri_ref, min_ref, cross_ref):
+        k = pl.program_id(0)                    # z-slab
+        c = pl.program_id(1)                    # face chunk (sequential)
+        cz = -1.0 + (k.astype(jnp.float32) + 0.5) * dx
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        px = -1.0 + ((lane % G).astype(jnp.float32) + 0.5) * dx
+        py = -1.0 + ((lane // G).astype(jnp.float32) + 0.5) * dx
+        pz = jnp.full_like(px, cz)              # (1, N)
 
-        def chunk_body(ci, carry):
-            min_d2, cross = carry
-            t = tri_ref[pl.ds(ci * face_chunk, face_chunk)]  # (C, 3, 3)
-            box = boxes_ref[ci]
+        t = tri_ref[0]                          # (C, 9)
+        ax = t[:, 0:1]                          # (C, 1)
+        ay = t[:, 1:2]
+        az = t[:, 2:3]
+        bx = t[:, 3:4]
+        by = t[:, 4:5]
+        bz = t[:, 5:6]
+        gx = t[:, 6:7]
+        gy = t[:, 7:8]
+        gz = t[:, 8:9]
 
-            # Slab-to-chunk-box lower-bound distance (z only needs the
-            # slab plane; xy the slab spans fully, so only z distance is
-            # a valid bound for the whole tile).
-            dz = jnp.maximum(box[2] - cz, jnp.maximum(cz - box[5], 0.0))
-            worst = jnp.max(jnp.where(min_d2 >= 1e6, 0.0, min_d2))
-            worst = jnp.maximum(worst, jnp.max(min_d2))
-            skip_dist = dz * dz > worst
+        def dot3(ux, uy, uz, vx, vy, vz):
+            return ux * vx + uy * vy + uz * vz
 
-            ax, ay, az = t[:, 0, 0], t[:, 0, 1], t[:, 0, 2]
-            bx, by, bz = t[:, 1, 0], t[:, 1, 1], t[:, 1, 2]
-            gx, gy, gz = t[:, 2, 0], t[:, 2, 1], t[:, 2, 2]
+        # --- point-triangle squared distance, componentwise ----------
+        abx, aby, abz = bx - ax, by - ay, bz - az
+        acx, acy, acz = gx - ax, gy - ay, gz - az
+        apx, apy, apz = px - ax, py - ay, pz - az
+        d1 = dot3(abx, aby, abz, apx, apy, apz)
+        d2_ = dot3(acx, acy, acz, apx, apy, apz)
+        bpx, bpy, bpz = px - bx, py - by, pz - bz
+        d3 = dot3(abx, aby, abz, bpx, bpy, bpz)
+        d4 = dot3(acx, acy, acz, bpx, bpy, bpz)
+        cpx, cpy, cpz = px - gx, py - gy, pz - gz
+        d5 = dot3(abx, aby, abz, cpx, cpy, cpz)
+        d6 = dot3(acx, acy, acz, cpx, cpy, cpz)
 
-            def face_loop(fi, carry2):
-                min_d2_, cross_ = carry2
-                a = jnp.stack([ax[fi], ay[fi], az[fi]])
-                b = jnp.stack([bx[fi], by[fi], bz[fi]])
-                c = jnp.stack([gx[fi], gy[fi], gz[fi]])
-                p = jnp.stack([cx, cy, jnp.full_like(cx, cz)], axis=-1)
-                d2 = point_triangle_dist_sq(p, a, b, c)
-                hit = ray_crossings_dir(p, a, b, c, -1.0 - p)
-                return (jnp.minimum(min_d2_, d2), cross_ + hit)
+        va = d3 * d6 - d5 * d4
+        vb = d5 * d2_ - d1 * d6
+        vc = d1 * d4 - d3 * d2_
 
-            def with_dist(_):
-                return jax.lax.fori_loop(0, face_chunk, face_loop,
-                                         (min_d2, cross))
+        def safe_div(a, b):
+            return a / jnp.where(jnp.abs(b) > 1e-30, b, 1e-30)
 
-            def crossings_only(_):
-                def face_loop_x(fi, cross_):
-                    a = jnp.stack([ax[fi], ay[fi], az[fi]])
-                    b = jnp.stack([bx[fi], by[fi], bz[fi]])
-                    c = jnp.stack([gx[fi], gy[fi], gz[fi]])
-                    p = jnp.stack([cx, cy, jnp.full_like(cx, cz)],
-                                  axis=-1)
-                    return cross_ + ray_crossings_dir(p, a, b, c,
-                                                      -1.0 - p)
-                return (min_d2,
-                        jax.lax.fori_loop(0, face_chunk, face_loop_x,
-                                          cross))
+        v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
+        w_ac = jnp.clip(safe_div(d2_, d2_ - d6), 0.0, 1.0)
+        w_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)),
+                        0.0, 1.0)
+        denom = va + vb + vc
+        v = safe_div(vb, denom)
+        w = safe_div(vc, denom)
 
-            return jax.lax.cond(skip_dist, crossings_only, with_dist,
-                                None)
+        in_a = (d1 <= 0) & (d2_ <= 0)
+        in_b = (d3 >= 0) & (d4 <= d3)
+        in_c = (d6 >= 0) & (d5 <= d6)
+        on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+        on_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+        on_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
 
-        init = (jnp.full((G, G), 1e6, jnp.float32),
-                jnp.zeros((G, G), jnp.int32))
-        min_d2, cross = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-        phi_ref[0] = jnp.where(cross % 2 == 1, jnp.sqrt(min_d2), 0.0)
+        v = jnp.where(on_bc, 1.0 - w_bc, v)
+        w = jnp.where(on_bc, w_bc, w)
+        v = jnp.where(on_ac, 0.0, v)
+        w = jnp.where(on_ac, w_ac, w)
+        v = jnp.where(on_ab, v_ab, v)
+        w = jnp.where(on_ab, 0.0, w)
+        v = jnp.where(in_c, 0.0, v)
+        w = jnp.where(in_c, 1.0, w)
+        v = jnp.where(in_b, 1.0, v)
+        w = jnp.where(in_b, 0.0, w)
+        v = jnp.where(in_a, 0.0, v)
+        w = jnp.where(in_a, 0.0, w)
 
-    phi = pl.pallas_call(
+        qx = ax + v * abx + w * acx - px
+        qy = ay + v * aby + w * acy - py
+        qz = az + v * abz + w * acz - pz
+        d2_full = qx * qx + qy * qy + qz * qz       # (C, N)
+        d2_min = jnp.min(d2_full, axis=0, keepdims=True)  # (1, N)
+
+        # --- Moller-Trumbore crossings toward (-1,-1,-1) -------------
+        dxr, dyr, dzr = -1.0 - px, -1.0 - py, -1.0 - pz
+        pvx = dyr * acz - dzr * acy
+        pvy = dzr * acx - dxr * acz
+        pvz = dxr * acy - dyr * acx
+        det = dot3(abx, aby, abz, pvx, pvy, pvz)
+        ok = jnp.abs(det) > 1e-7
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tvx, tvy, tvz = px - ax, py - ay, pz - az
+        u = dot3(tvx, tvy, tvz, pvx, pvy, pvz) * inv
+        qvx = tvy * abz - tvz * aby
+        qvy = tvz * abx - tvx * abz
+        qvz = tvx * aby - tvy * abx
+        vv = dot3(dxr, dyr, dzr, qvx, qvy, qvz) * inv
+        tt = dot3(acx, acy, acz, qvx, qvy, qvz) * inv
+        hit = (ok & (u >= 0) & (u <= 1) & (vv >= 0) & (u + vv <= 1) &
+               (tt >= 0))
+        hits = jnp.sum(hit.astype(jnp.int32), axis=0,
+                       keepdims=True)                  # (1, N)
+
+        @pl.when(c == 0)
+        def _():
+            min_ref[0] = d2_min
+            cross_ref[0] = hits
+
+        @pl.when(c != 0)
+        def _():
+            min_ref[0] = jnp.minimum(min_ref[0], d2_min)
+            cross_ref[0] = cross_ref[0] + hits
+
+    # Outputs carry a singleton sublane axis so the (1, 1, N) block's
+    # trailing dims equal the array's (Mosaic block-divisibility rule).
+    min_d2, cross = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(G, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, face_chunk, 9), lambda k, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, G, G), lambda k: (k, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, G, G), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, 1, N), lambda k, c: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda k, c: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1, N), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(tri, chunk_boxes)
-    return phi
+    )(tri_flat)
+    phi = jnp.where(cross % 2 == 1, jnp.sqrt(min_d2), 0.0)
+    return phi.reshape(G, G, G)
 
 
 # ---------------------------------------------------------------------------

@@ -115,3 +115,86 @@ def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     done=jnp.zeros((), jnp.bool_))
     final = jax.lax.while_loop(cond, step, init)
     return final.x, final.loss
+
+
+def lm_fit_staged(residual_fn: Callable[[jnp.ndarray, object],
+                                        jnp.ndarray],
+                  x0: jnp.ndarray,
+                  mask: jnp.ndarray,
+                  weights_table,
+                  num_stages: int,
+                  opts: LMOptions = LMOptions(),
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All annealing stages in ONE `lax.while_loop` — the fused form.
+
+    `residual_fn(x, weights)` is traced once; per-iteration weights are
+    gathered from `weights_table` (a StageWeights pytree with a leading
+    stage axis) by the carried stage index.  A stage advances when its
+    relative-improvement / gradient / iteration budget trips, resetting
+    the damping.  The accept test compares against sum(r^2) of the
+    primal residual already computed for the Jacobian, so no stale
+    carried loss crosses a weight switch.
+
+    Compared to unrolling stages into 4 sequential loops this compiles
+    ~4x less graph (minutes saved through the TPU tunnel) and runs the
+    same math.
+
+    Returns (x_final, per-stage final losses (num_stages,)).
+    """
+    n = x0.shape[0]
+    eye = jnp.eye(n, dtype=x0.dtype)
+
+    def w_at(s):
+        return jax.tree.map(lambda a: a[s], weights_table)
+
+    def step(state):
+        x, lam, it, stage, stage_losses = state
+        w = w_at(stage)
+
+        def res(xv):
+            return residual_fn(xv, w)
+
+        r, lin = jax.linearize(res, x)
+        J = jax.vmap(lin)(eye).T * mask[None, :]
+        loss_old = jnp.sum(r * r)
+        g = J.T @ r
+        JtJ = J.T @ J
+
+        diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
+        A = JtJ + lam * jnp.diag(diag) + 1e-12 * eye
+        dx = -jnp.linalg.solve(A, g) * mask
+
+        new_x = x + dx
+        r_new = res(new_x)
+        new_loss = jnp.sum(r_new * r_new)
+        accept = jnp.isfinite(new_loss) & (new_loss < loss_old)
+
+        x = jnp.where(accept, new_x, x)
+        lam = jnp.clip(
+            jnp.where(accept, lam * opts.lambda_down,
+                      lam * opts.lambda_up),
+            opts.min_lambda, opts.max_lambda)
+
+        rel = jnp.abs(loss_old - new_loss) / jnp.maximum(
+            jnp.maximum(jnp.abs(loss_old), jnp.abs(new_loss)), 1.0)
+        cur_loss = jnp.where(accept, new_loss, loss_old)
+        stage_done = ((accept & (rel <= opts.ftol)) |
+                      (jnp.max(jnp.abs(g)) < opts.gtol) |
+                      (it + 1 >= opts.max_iters) |
+                      ~jnp.isfinite(new_loss))
+
+        stage_losses = stage_losses.at[stage].set(cur_loss)
+        stage = stage + stage_done.astype(jnp.int32)
+        it = jnp.where(stage_done, 0, it + 1)
+        lam = jnp.where(stage_done,
+                        jnp.asarray(opts.init_lambda, x0.dtype), lam)
+        return (x, lam, it, stage, stage_losses)
+
+    def cond(state):
+        return state[3] < num_stages
+
+    init = (x0, jnp.asarray(opts.init_lambda, x0.dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.full((num_stages,), jnp.inf, x0.dtype))
+    x, _, _, _, stage_losses = jax.lax.while_loop(cond, step, init)
+    return x, stage_losses

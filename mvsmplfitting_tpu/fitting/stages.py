@@ -25,7 +25,7 @@ from ..models.vposer import VPoserWeights
 from . import energy as E
 from .energy import EnergySpec, Observations, StageWeights
 from .lbfgs import LBFGSOptions, lbfgs_fit
-from .lm import LMOptions, lm_fit
+from .lm import LMOptions, lm_fit, lm_fit_staged
 
 # Demo schedule (`cfg_files/fit_smpl.yaml:40-59`): per-stage
 # (body_pose_weight, shape_weight, coll_loss_weight); data weight is
@@ -51,6 +51,12 @@ class FitConfig:
     lm: LMOptions = struct.field(pytree_node=False, default=LMOptions())
     lbfgs: LBFGSOptions = struct.field(
         pytree_node=False, default=LBFGSOptions())
+    # Fused mode: all stages in ONE while_loop (lm_fit_staged).  Same
+    # math, but measured ~25% slower than the unrolled stages (XLA
+    # constant-folds per-stage weights in the unrolled form) with no
+    # compile-time win — kept as an option, default off.  Auto-disabled
+    # for the L-BFGS solver and mixed collision stages.
+    fused: bool = struct.field(pytree_node=False, default=False)
     # Sequence mode: non-start frames skip stages 0-1 and run stage 2 at
     # 0.15x pose weight (`non_linear_solver.py:156-162`).
     is_seq: bool = struct.field(pytree_node=False, default=False)
@@ -131,12 +137,31 @@ def fit_frame(cfg: FitConfig, assets: SMPLAssets, cam: Camera,
     spec = cfg.spec
     x = E.pack(spec, init_params, init_z if spec.use_vposer else None)
 
-    stage_losses = []
-    for weights in default_stages(cfg, jnp.asarray(img_height, jnp.float32),
-                                  seq_start):
-        x, loss = run_stage(cfg, assets, cam, obs, weights, vposer_w, gmm,
-                            x)
-        stage_losses.append(loss)
+    stages = default_stages(cfg, jnp.asarray(img_height, jnp.float32),
+                            seq_start)
+    use_fused = (cfg.fused and cfg.solver == "lm" and
+                 len({w.coll_on for w in stages}) == 1)
+    if use_fused:
+        table = jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+        mask = E.free_mask(spec)
+
+        def res(xv, w):
+            return E.residuals(spec, assets, cam, obs, w, vposer_w,
+                               gmm, xv)
+
+        x, losses_arr = lm_fit_staged(res, x, mask, table, len(stages),
+                                      cfg.lm)
+        stage_losses = [losses_arr[i] for i in range(len(stages))]
+        # Report the final scalar energy (matches the unrolled path,
+        # incl. non-LSQ constants like the GMM -log w offset).
+        stage_losses[-1] = E.total_energy(
+            spec, assets, cam, obs, stages[-1], vposer_w, gmm, x)
+    else:
+        stage_losses = []
+        for weights in stages:
+            x, loss = run_stage(cfg, assets, cam, obs, weights,
+                                vposer_w, gmm, x)
+            stage_losses.append(loss)
 
     params, z = E.unpack(spec, x)
     if spec.use_vposer:

@@ -1,0 +1,57 @@
+"""End-to-end CLI regression on the bundled demo data.
+
+Runs the real driver (synthetic body model — the SMPL pkl is
+license-gated) against the 6-view demo frame and checks the output
+artifacts plus loss levels.  The loss values are regression anchors for
+the deterministic synthetic model (seed 0); they are NOT reference
+parity numbers (that needs the real SMPL pkl).
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DEMO = "/root/reference/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO), reason="demo data missing")
+def test_cli_demo_fit(tmp_path):
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mvsmplfitting_tpu.cli.main",
+         "--config", "cfg_files/fit_smpl_demo.yaml",
+         "--output_folder", out_dir, "--no_save_images"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True, timeout=400)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    pkl_path = os.path.join(out_dir, "results/0000/00001/000.pkl")
+    assert os.path.exists(pkl_path)
+    with open(pkl_path, "rb") as f:
+        result = pickle.load(f)
+
+    # Output contract (same keys/shapes as the reference's writer).
+    assert result["pose"].shape == (1, 72)
+    assert result["betas"].shape == (1, 10)
+    assert result["pose_embedding"].shape == (1, 32)
+    # Extremity zeroing applied.
+    assert (result["body_pose"][0, 57:] == 0).all()
+    # Regression anchor: final loss of the deterministic synthetic-model
+    # fit sits near 21080 (+-10% across BLAS/thread variations).
+    assert 15000 < result["loss"] < 26000, result["loss"]
+
+    # Mesh written and loadable.
+    obj_path = os.path.join(out_dir, "meshes/0000/00001/000.obj")
+    assert os.path.exists(obj_path)
+    with open(obj_path) as f:
+        head = f.readline()
+    assert head.startswith("v ")
+
+    # Resolved config dumped.
+    assert os.path.exists(os.path.join(out_dir, "conf.yaml"))

@@ -234,3 +234,18 @@ class TestEndToEnd:
 def cfg_lm_fast():
     from mvsmplfitting_tpu.fitting.lm import LMOptions
     return LMOptions(max_iters=15)
+
+
+class TestFusedStages:
+    def test_fused_matches_unrolled(self, assets, vposer_w, rng):
+        cam, obs, true, _ = make_problem(assets, vposer_w, rng)
+        guess = init_guess(assets, cam, obs.gt2d, obs.conf, obs.view_mask)
+        base = FitConfig(lm=cfg_lm_fast())
+        fused = base.replace(fused=True)
+        r1 = fit_frame(base, assets, cam, obs, guess.params, guess.z,
+                       vposer_w=vposer_w, img_height=1080.0)
+        r2 = fit_frame(fused, assets, cam, obs, guess.params, guess.z,
+                       vposer_w=vposer_w, img_height=1080.0)
+        # Same annealing math; trajectories may differ slightly.
+        np.testing.assert_allclose(float(r2.loss), float(r1.loss),
+                                   rtol=0.1)

@@ -29,8 +29,10 @@ class PersonDetector:
 
     def __init__(self, params=None, input_hw: Tuple[int, int] = (800, 1440),
                  conf_thresh: float = 0.1, nms_thresh: float = 0.45,
-                 seed: int = 0):
-        self.model = YOLOX(input_hw=input_hw)
+                 seed: int = 0, depth_mul: float = 1.33,
+                 width_mul: float = 1.25):
+        self.model = YOLOX(input_hw=input_hw, depth_mul=depth_mul,
+                           width_mul=width_mul)
         self.input_hw = input_hw
         self.conf_thresh = conf_thresh
         self.nms_thresh = nms_thresh

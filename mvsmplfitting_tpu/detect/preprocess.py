@@ -142,3 +142,34 @@ def heatmap_to_coords(hms: jnp.ndarray, centers: jnp.ndarray,
     x_img = (px - w * 0.5) * ratio + centers[:, 0:1]
     y_img = (py - h * 0.5) * ratio + centers[:, 1:2]
     return jnp.stack([x_img, y_img], axis=-1), maxval
+
+
+def heatmap_to_coords_integral(hms: jnp.ndarray, centers: jnp.ndarray,
+                               scales: jnp.ndarray,
+                               norm_type: str = "softmax"
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Integral-regression (soft-argmax) decode — the reference's
+    `heatmap_to_coord_simple_regress` variant (`transforms.py:591-691`):
+    normalize each heatmap, take the coordinate expectation, map the
+    normalized prediction back through the same isotropic bbox
+    transform.  Used by integral-loss model configs.
+    """
+    M, h, w, J = hms.shape
+    hm = jnp.transpose(hms, (0, 3, 1, 2)).reshape(M, J, -1)
+    if norm_type == "softmax":
+        p = jax.nn.softmax(hm, axis=-1)
+    else:  # sigmoid normalization
+        s = jax.nn.sigmoid(hm)
+        p = s / jnp.maximum(s.sum(-1, keepdims=True), 1e-9)
+    conf = jnp.max(p, axis=-1)
+
+    idx = jnp.arange(h * w)
+    ix = (idx % w).astype(jnp.float32)
+    iy = (idx // w).astype(jnp.float32)
+    px = jnp.sum(p * ix, axis=-1)                    # (M, J)
+    py = jnp.sum(p * iy, axis=-1)
+
+    ratio = (scales[:, 0] / w)[:, None]
+    x_img = (px + 0.5 - w * 0.5) * ratio + centers[:, 0:1]
+    y_img = (py + 0.5 - h * 0.5) * ratio + centers[:, 1:2]
+    return jnp.stack([x_img, y_img], axis=-1), conf

@@ -276,3 +276,53 @@ class TestTorchParity:
         got = np.asarray(FastPose(num_joints=26).apply(
             variables, jnp.asarray(img)))
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+class TestPoseNMS:
+    def test_duplicates_merged(self, rng):
+        from mvsmplfitting_tpu.detect.pose_nms import pose_nms
+
+        K = 26
+        base = rng.uniform(100, 200, size=(K, 2)).astype(np.float32)
+        poses = np.stack([base, base + rng.normal(scale=1.0, size=(K, 2)),
+                          base + 300.0])  # two dups + one far person
+        scores = np.full((3, K), 0.9, np.float32)
+        scores[1] *= 0.8
+        boxes = np.asarray([[90, 90, 210, 210]] * 2 +
+                           [[390, 390, 510, 510]], np.float32)
+        out_boxes, out_poses, out_scores = pose_nms(
+            boxes, np.ones(3, np.float32), poses, scores)
+        assert out_poses.shape[0] == 2
+        # Merged pose stays near the originals.
+        d = np.linalg.norm(out_poses[0] - base, axis=1).mean()
+        assert d < 2.0
+
+    def test_low_scores_dropped(self):
+        from mvsmplfitting_tpu.detect.pose_nms import pose_nms
+
+        poses = np.zeros((1, 26, 2), np.float32) + 50
+        scores = np.full((1, 26), 0.05, np.float32)  # < SCORE_THRESH
+        boxes = np.asarray([[0, 0, 100, 100]], np.float32)
+        b, p, s = pose_nms(boxes, np.ones(1), poses, scores)
+        assert p.shape[0] == 0
+
+
+class TestIntegralDecode:
+    def test_peak_recovery(self):
+        from mvsmplfitting_tpu.detect.preprocess import (
+            heatmap_to_coords_integral,
+        )
+
+        hm = np.full((1, 64, 48, 2), -10.0, np.float32)
+        hm[0, 20, 10, 0] = 10.0     # sharp peak -> expectation ~ argmax
+        hm[0, 40, 30, 1] = 10.0
+        centers = np.asarray([[100.0, 200.0]], np.float32)
+        scales = np.asarray([[96.0, 128.0]], np.float32)
+        coords, conf = heatmap_to_coords_integral(
+            jnp.asarray(hm), jnp.asarray(centers), jnp.asarray(scales))
+        ratio = 2.0
+        np.testing.assert_allclose(
+            np.asarray(coords[0, 0]),
+            [(10.5 - 24) * ratio + 100, (20.5 - 32) * ratio + 200],
+            atol=0.1)
+        assert float(conf[0, 0]) > 0.5

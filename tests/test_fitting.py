@@ -249,3 +249,48 @@ class TestFusedStages:
         # Same annealing math; trajectories may differ slightly.
         np.testing.assert_allclose(float(r2.loss), float(r1.loss),
                                    rtol=0.1)
+
+
+class TestUse3D:
+    def test_3d_term_in_energy_and_residuals(self, assets, vposer_w, rng):
+        """use_3d adds the robustified 3D-joint term
+        (`fitting.py:319-324`); residual form must still square to it."""
+        cam, obs, true, z_true = make_problem(assets, vposer_w, rng)
+        body_pose = vposer_lib.decode(vposer_w, z_true)
+        _, joints = smpl_forward(assets, true, body_pose)
+        gt3d = joints + jnp.asarray(
+            0.02 * rng.standard_normal(joints.shape), jnp.float32)
+        obs3 = obs.replace(gt3d=gt3d,
+                           conf3d=jnp.full((joints.shape[0],), 0.8))
+        spec = EnergySpec(use_3d=True)
+        w = StageWeights.make(data=0.46, pose=57.4, shape=10.0)
+        x = pack(spec, true, z_true) + 0.02
+        r = residuals(spec, assets, cam, obs3, w, vposer_w, None, x)
+        e = total_energy(spec, assets, cam, obs3, w, vposer_w, None, x)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(e),
+                                   rtol=1e-5)
+        # The 3D term contributes (energy grows vs the 2D-only spec).
+        e2d = total_energy(EnergySpec(), assets, cam, obs, w, vposer_w,
+                           None, x)
+        assert float(e) > float(e2d)
+
+    def test_fit_with_3d_supervision(self, assets, vposer_w, rng):
+        """Two views + 3D joints converges (the reference's use_3d mode
+        rescues under-constrained rigs)."""
+        cam, obs, true, z_true = make_problem(assets, vposer_w, rng)
+        body_pose = vposer_lib.decode(vposer_w, z_true)
+        _, joints = smpl_forward(assets, true, body_pose)
+        two_view = obs.replace(
+            view_mask=jnp.asarray([1, 1, 0, 0, 0, 0], jnp.float32),
+            gt3d=joints, conf3d=jnp.ones((joints.shape[0],)))
+        cfg = FitConfig(spec=EnergySpec(use_3d=True),
+                        lm=cfg_lm_fast())
+        guess = init_guess(assets, cam, two_view.gt2d, two_view.conf,
+                           two_view.view_mask, gt3d=joints)
+        result = fit_frame(cfg, assets, cam, two_view, guess.params,
+                           guess.z, vposer_w=vposer_w,
+                           img_height=1080.0)
+        assert np.isfinite(float(result.loss))
+        # 3D term pulls the fit to the right translation.
+        np.testing.assert_allclose(np.asarray(result.params.transl),
+                                   np.asarray(true.transl), atol=0.05)

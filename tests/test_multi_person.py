@@ -54,7 +54,10 @@ def setup(rng=None):
 class TestMultiPerson:
     def test_independent_fits(self, setup):
         assets, vw, cam, obs_people = setup
-        cfg = FitConfig(lm=LMOptions(max_iters=20))
+        cfg = FitConfig(lm=LMOptions(max_iters=15),
+                        pose_weights=(404.0, 57.4),
+                        shape_weights=(100.0, 10.0),
+                        coll_weights=(0.0, 0.0))
         results, sums = fit_people(cfg, assets, cam, obs_people,
                                    vposer_w=vw, img_height=1080.0,
                                    refine_collision=False)
@@ -68,7 +71,10 @@ class TestMultiPerson:
     def test_collision_refinement_runs(self, setup):
         assets, vw, cam, obs_people = setup
         spec = EnergySpec(interpenetration=True, coll_grid_size=16)
-        cfg = FitConfig(spec=spec, lm=LMOptions(max_iters=12))
+        cfg = FitConfig(spec=spec, lm=LMOptions(max_iters=8),
+                        pose_weights=(404.0, 57.4),
+                        shape_weights=(100.0, 10.0),
+                        coll_weights=(0.0, 1000.0))
         results, sums = fit_people(cfg, assets, cam, obs_people,
                                    vposer_w=vw, img_height=1080.0)
         assert sums.shape == (2,)

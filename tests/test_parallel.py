@@ -55,10 +55,10 @@ class TestFrameSharding:
         # Two stages / few iters: the point is sharding equivalence,
         # not convergence, and CPU compiles of the full 4-stage graph
         # are slow.
-        cfg = FitConfig(lm=LMOptions(max_iters=6),
-                        pose_weights=(404.0, 57.4),
-                        shape_weights=(100.0, 10.0),
-                        coll_weights=(0.0, 0.0))
+        cfg = FitConfig(lm=LMOptions(max_iters=5),
+                        pose_weights=(57.4,),
+                        shape_weights=(10.0,),
+                        coll_weights=(0.0,))
         B = 8
         mesh = make_mesh(MeshLayout(frames=8, cameras=1))
         batch = BatchedFitInputs(obs=_broadcast(obs, B),
@@ -86,10 +86,10 @@ class TestCameraSharding:
         mesh = make_mesh(
             MeshLayout(frames=frames_ax, cameras=cams_ax),
             devices=jax.devices()[:frames_ax * cams_ax])
-        cfg = FitConfig(lm=LMOptions(max_iters=6),
-                        pose_weights=(404.0, 57.4),
-                        shape_weights=(100.0, 10.0),
-                        coll_weights=(0.0, 0.0))
+        cfg = FitConfig(lm=LMOptions(max_iters=5),
+                        pose_weights=(57.4,),
+                        shape_weights=(10.0,),
+                        coll_weights=(0.0,))
 
         obs_b = _broadcast(obs, B)
         x_sharded, loss_sharded = camera_sharded_fit(

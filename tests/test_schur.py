@@ -67,7 +67,7 @@ class TestSchurSequence:
     def test_shared_shape_recovered(self, assets, vposer_w, rng):
         cam, obs, p0, z0, betas_true, scale_true = make_sequence(
             assets, vposer_w, rng)
-        cfg = FitConfig(lm=LMOptions(max_iters=40))
+        cfg = FitConfig(lm=LMOptions(max_iters=30))
         params, z, losses, shared = jax.jit(
             lambda o, p, zz: schur_sequence_fit(
                 cfg, assets, cam, o, p, zz, vposer_w=vposer_w,
@@ -84,7 +84,9 @@ class TestSchurSequence:
 
     def test_sharded_matches_unsharded(self, assets, vposer_w, rng):
         cam, obs, p0, z0, *_ = make_sequence(assets, vposer_w, rng, B=8)
-        cfg = FitConfig(lm=LMOptions(max_iters=8))
+        cfg = FitConfig(lm=LMOptions(max_iters=6),
+                        pose_weights=(57.4,), shape_weights=(10.0,),
+                        coll_weights=(0.0,))
         mesh = make_mesh(MeshLayout(frames=8, cameras=1))
 
         _, _, losses_plain, shared_plain = schur_sequence_fit(

@@ -157,19 +157,25 @@ def heatmap_to_coords_integral(hms: jnp.ndarray, centers: jnp.ndarray,
     M, h, w, J = hms.shape
     hm = jnp.transpose(hms, (0, 3, 1, 2)).reshape(M, J, -1)
     if norm_type == "softmax":
-        p = jax.nn.softmax(hm, axis=-1)
+        norm = jax.nn.softmax(hm, axis=-1)
+        # Reference confidence for softmax norm is 1.0 per joint
+        # (`_integral_tensor`, `transforms.py:656-660`).
+        conf = jnp.ones((M, J), hms.dtype)
     else:  # sigmoid normalization
-        s = jax.nn.sigmoid(hm)
-        p = s / jnp.maximum(s.sum(-1, keepdims=True), 1e-9)
-    conf = jnp.max(p, axis=-1)
+        norm = jax.nn.sigmoid(hm)
+        # max of the sigmoid map BEFORE sum-normalization.
+        conf = jnp.max(norm, axis=-1)
+    p = norm / jnp.maximum(norm.sum(-1, keepdims=True), 1e-9)
 
     idx = jnp.arange(h * w)
     ix = (idx % w).astype(jnp.float32)
     iy = (idx // w).astype(jnp.float32)
+    # (x_norm + 0.5) * w with x_norm = E[ix]/w - 0.5 cancels exactly to
+    # E[ix] — no half-pixel offset (`transforms.py:628-631,676-681`).
     px = jnp.sum(p * ix, axis=-1)                    # (M, J)
     py = jnp.sum(p * iy, axis=-1)
 
     ratio = (scales[:, 0] / w)[:, None]
-    x_img = (px + 0.5 - w * 0.5) * ratio + centers[:, 0:1]
-    y_img = (py + 0.5 - h * 0.5) * ratio + centers[:, 1:2]
+    x_img = (px - w * 0.5) * ratio + centers[:, 0:1]
+    y_img = (py - h * 0.5) * ratio + centers[:, 1:2]
     return jnp.stack([x_img, y_img], axis=-1), conf

@@ -197,9 +197,10 @@ def postprocess_boxes(decoded: np.ndarray, conf_thresh: float = 0.1,
                       high_thresh: float = 0.46) -> np.ndarray:
     """One image's decoded preds -> kept person boxes (M, 5) xyxy+score.
 
-    Mirrors `yolox/utils/boxes.py:33-71` + the predictor's dual
-    confidence band (`yolox/yolox.py:54-66`): keep all boxes >= 0.46
-    plus the single best box in [conf_thresh, 0.46) if none are high.
+    Mirrors `yolox/utils/boxes.py:33-71` + the predictor's two-band
+    concatenation (`yolox/yolox.py:54-66`): boxes >= `high_thresh`
+    stacked first, then the [conf_thresh, high_thresh) band — i.e. ALL
+    boxes above `conf_thresh` survive, ordered high band first.
     """
     decoded = np.asarray(decoded)
     xy, wh = decoded[:, :2], decoded[:, 2:4]
@@ -212,11 +213,8 @@ def postprocess_boxes(decoded: np.ndarray, conf_thresh: float = 0.1,
     boxes, score = xyxy[m], score[m]
     keep = nms_xyxy(boxes, score, nms_thresh)
     boxes, score = boxes[keep], score[keep]
-    high = score >= high_thresh
-    if high.any():
-        boxes, score = boxes[high], score[high]
-    else:
-        best = int(np.argmax(score))
-        boxes, score = boxes[best:best + 1], score[best:best + 1]
+    order = np.concatenate([np.flatnonzero(score >= high_thresh),
+                            np.flatnonzero(score < high_thresh)])
+    boxes, score = boxes[order], score[order]
     return np.concatenate([boxes, score[:, None]],
                           axis=-1).astype(np.float32)

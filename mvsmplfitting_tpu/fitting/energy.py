@@ -236,12 +236,15 @@ def total_energy(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
 def data_residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
                    obs: Observations, weights: StageWeights,
                    vposer_w: Optional[vposer_lib.VPoserWeights],
-                   x: jnp.ndarray) -> jnp.ndarray:
+                   x: jnp.ndarray,
+                   include_3d: bool = True) -> jnp.ndarray:
     """2D (and optional 3D) data-term residual rows.
 
     Separated from the priors so a camera-sharded solver can assemble
     per-view J^T J blocks with a `psum` over the cameras mesh axis and
-    add the (replicated) prior blocks once.
+    add the (replicated) prior blocks once.  `include_3d=False` lets
+    that solver keep the (view-independent) 3D rows out of the psummed
+    block — otherwise each camera shard would count them once.
     """
     params, z, body_pose, verts, joints = _forward(
         spec, assets, vposer_w, x)
@@ -251,11 +254,22 @@ def data_residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     rows = [(w[..., None] * gmof_residual(obs.gt2d - proj, spec.rho)
              ).reshape(-1)]
 
-    if spec.use_3d and obs.gt3d is not None:
+    if include_3d and spec.use_3d and obs.gt3d is not None:
         w3 = obs.conf3d[:, None] * weights.data
         rows.append((w3 * gmof_residual(obs.gt3d - joints, spec.rho)
                      ).reshape(-1))
     return jnp.concatenate(rows)
+
+
+def joints3d_residuals(spec: EnergySpec, assets: SMPLAssets,
+                       obs: Observations, weights: StageWeights,
+                       vposer_w, x: jnp.ndarray) -> jnp.ndarray:
+    """Only the 3D-joint rows (view-independent); empty if unused."""
+    if not (spec.use_3d and obs.gt3d is not None):
+        return jnp.zeros((0,), x.dtype)
+    _, _, _, _, joints = _forward(spec, assets, vposer_w, x)
+    w3 = obs.conf3d[:, None] * weights.data
+    return (w3 * gmof_residual(obs.gt3d - joints, spec.rho)).reshape(-1)
 
 
 def prior_residuals(spec: EnergySpec, weights: StageWeights,
@@ -276,7 +290,15 @@ def prior_residuals(spec: EnergySpec, weights: StageWeights,
         rows.append(weights.pose * z)
     else:
         if spec.prior_type == "gmm":
-            rows.append(weights.pose * gmm.residuals(body_pose))
+            # Outlier gate (`fitting.py:334-335`): when the gated scalar
+            # loss exceeds 5e4 the whole GMM term is dropped — zero the
+            # rows so sum(r^2) keeps matching total_energy.  The gate
+            # itself carries no gradient (the reference's is a Python
+            # float check).
+            base = gmm.merged_nll(body_pose) * weights.pose ** 2
+            gate = jax.lax.stop_gradient(base <= 5e4)
+            rows.append(jnp.where(gate, 1.0, 0.0) * weights.pose *
+                        gmm.residuals(body_pose))
         else:
             rows.append(weights.pose * body_pose)
         rows.append(4.0 * weights.pose * body_pose)
@@ -285,8 +307,15 @@ def prior_residuals(spec: EnergySpec, weights: StageWeights,
         rows.append(weights.shape * params.betas)
 
     # angle term: sum(exp(s*theta)^2) * w  ==  sum((sqrt(w) exp(s*theta))^2)
-    rows.append(jnp.sqrt(weights.bending) *
-                jnp.sqrt(angle_prior_terms(body_pose)))
+    angle_rows = (jnp.sqrt(weights.bending) *
+                  jnp.sqrt(angle_prior_terms(body_pose)))
+    if not spec.use_vposer:
+        # Gate (`fitting.py:349-350`): angle term dropped above 1e4.
+        total_angle = jnp.sum(angle_prior_terms(body_pose)) * \
+            weights.bending
+        gate = jax.lax.stop_gradient(total_angle <= 1e4)
+        angle_rows = jnp.where(gate, 1.0, 0.0) * angle_rows
+    rows.append(angle_rows)
     return jnp.concatenate(rows)
 
 

@@ -35,27 +35,34 @@ class InitGuess:
 
 
 def _single_view_depth(cam: Camera, rest: jnp.ndarray,
-                       pixels0: jnp.ndarray) -> jnp.ndarray:
+                       pixels: jnp.ndarray,
+                       view_mask: jnp.ndarray) -> jnp.ndarray:
     """Torso-height depth heuristic for one view (`init_guess.py:54-79`).
 
     Places the rest joints at depth f * (3D torso height / 2D torso
-    height) along the first camera's optical axis.
+    height) along the live camera's optical axis.  The reference
+    Python-filters dead views so its index 0 is always the live one
+    (`main.py:49-57`); with padded static views the live view is
+    selected by the mask.
     """
+    v = jnp.argmax(view_mask)                                # first live
+    R = cam.rotation[v]
+    t = cam.translation[v]
     torso3d_w = rest[TORSO]                                  # (4, 3)
-    torso3d_c = torso3d_w @ cam.rotation[0].T + cam.translation[0]
+    torso3d_c = torso3d_w @ R.T + t
     d3 = jnp.stack([torso3d_c[0] - torso3d_c[2],
                     torso3d_c[1] - torso3d_c[3]])
     h3 = jnp.mean(jnp.linalg.norm(d3, axis=-1))
 
-    torso2d = pixels0[TORSO]
+    torso2d = pixels[v][TORSO]
     # sic: the reference uses (t0 - t2) twice (`init_guess.py:66`).
     d2 = jnp.stack([torso2d[0] - torso2d[2], torso2d[0] - torso2d[2]])
     h2 = jnp.mean(jnp.linalg.norm(d2, axis=-1))
 
-    est_d = cam.focal[0, 0] * (h3 / h2)
-    cam_joints = rest @ cam.rotation[0].T + cam.translation[0]
+    est_d = cam.focal[v, 0] * (h3 / jnp.maximum(h2, 1e-6))
+    cam_joints = rest @ R.T + t
     cam_joints = cam_joints.at[:, 2].add(est_d)
-    return (cam_joints - cam.translation[0]) @ cam.rotation[0]
+    return (cam_joints - t) @ R
 
 
 def init_guess(assets: SMPLAssets, cam: Camera, pixels: jnp.ndarray,
@@ -74,7 +81,7 @@ def init_guess(assets: SMPLAssets, cam: Camera, pixels: jnp.ndarray,
 
     n_views = jnp.sum(view_mask)
     tri = triangulate(cam, pixels, conf, view_mask)
-    single = _single_view_depth(cam, rest, pixels[0])
+    single = _single_view_depth(cam, rest, pixels, view_mask)
     joints3d = jnp.where(n_views > 1, tri, single)
     if gt3d is not None:
         joints3d = gt3d

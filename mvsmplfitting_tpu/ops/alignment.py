@@ -52,7 +52,22 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray,
     neg = jnp.linalg.det(A) < 0
     d = jnp.ones((dim,), src.dtype).at[dim - 1].set(
         jnp.where(neg, -1.0, 1.0))
-    rot0 = (U * d[None, :]) @ Vt
+    # sic: the reference's full-rank branch computes U @ diag(d) @ V.T
+    # where its `V` is numpy's *already transposed* Vh
+    # (`umeyama.py:62,80`) — i.e. U d Vh^T, NOT the Kabsch U d Vh.
+    # This is the very bug its column-flip workaround below compensates
+    # for; reproduced exactly so initial guesses match the reference.
+    rot_full = (U * d[None, :]) @ Vt.T
+    # Rank-deficient branch (`umeyama.py:66-75`): rank == dim-1 uses the
+    # proper Kabsch form (U @ Vh, sign-corrected via det(U)det(Vh)).
+    # Rank via numpy matrix_rank's default tolerance.
+    eps = jnp.finfo(src.dtype).eps
+    tol = S[0] * dim * eps
+    rank = jnp.sum(S > tol)
+    det_uv = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d_neg = jnp.ones((dim,), src.dtype).at[dim - 1].set(-1.0)
+    rot_def = jnp.where(det_uv > 0, U @ Vt, (U * d_neg[None, :]) @ Vt)
+    rot0 = jnp.where(rank == dim - 1, rot_def, rot_full)
 
     scale = jnp.where(
         jnp.asarray(estimate_scale),

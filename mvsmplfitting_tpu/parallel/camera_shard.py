@@ -55,11 +55,18 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
     eye = jnp.eye(n, dtype=x0.dtype)
 
     def data_res(x):
+        # 2D rows of the local views only; the (view-independent) 3D
+        # rows go into the replicated block below, else every camera
+        # shard's psum would count them once each.
         return E.data_residuals(spec, assets, cam_l, obs_l, weights,
-                                vposer_w, x)
+                                vposer_w, x, include_3d=False)
 
     def prior_res(x):
-        return E.prior_residuals(spec, weights, gmm, vposer_w, x)
+        rows = [E.prior_residuals(spec, weights, gmm, vposer_w, x)]
+        if spec.use_3d and obs_l.gt3d is not None:
+            rows.append(E.joints3d_residuals(spec, assets, obs_l,
+                                             weights, vposer_w, x))
+        return jnp.concatenate(rows)
 
     def loss_of(x):
         rd = data_res(x)

@@ -103,6 +103,7 @@ def build_session(cfg: Config) -> Session:
         use_joints_conf=cfg.use_joints_conf,
         prior_type=cfg.body_prior_type,
         rho=cfg.rho,
+        interpenetration=cfg.interpenetration,
     )
     solver = "lbfgs" if cfg.optim_type == "lbfgsls" else "lm"
     # The reference budget is maxiters(30) outer x 30 L-BFGS iters with

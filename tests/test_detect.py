@@ -58,20 +58,23 @@ class TestYOLOX:
         assert keep == [0, 2]
 
     def test_postprocess_dual_band(self):
-        # One high-conf box kept; low-conf boxes dropped when a high
-        # one exists (`yolox/yolox.py:54-66`).
+        # The reference vstacks the >=0.46 band on top of the
+        # [thres, 0.46) band (`yolox/yolox.py:54-66`): ALL boxes above
+        # conf_thresh survive, high band ordered first.
         dec = np.zeros((3, 6), np.float32)
         dec[:, :2] = [[10, 10], [100, 100], [200, 200]]
         dec[:, 2:4] = 10
         dec[:, 5] = 1.0
         dec[:, 4] = [0.9, 0.2, 0.05]
         out = postprocess_boxes(dec, conf_thresh=0.1)
-        assert out.shape[0] == 1 and out[0, 4] > 0.45
-        # No high-conf: single best band box kept.
+        assert out.shape[0] == 2           # 0.05 below conf_thresh
+        np.testing.assert_allclose(out[:, 4], [0.9, 0.2], rtol=1e-5)
+        # No high-conf: the whole band is kept.
         dec[:, 4] = [0.3, 0.2, 0.05]
         out = postprocess_boxes(dec, conf_thresh=0.1)
-        assert out.shape[0] == 1
-        np.testing.assert_allclose(out[0, 4], 0.3, rtol=1e-5)
+        assert out.shape[0] == 2
+        np.testing.assert_allclose(sorted(out[:, 4]), [0.2, 0.3],
+                                   rtol=1e-5)
 
 
 class TestFastPose:
@@ -321,8 +324,11 @@ class TestIntegralDecode:
         coords, conf = heatmap_to_coords_integral(
             jnp.asarray(hm), jnp.asarray(centers), jnp.asarray(scales))
         ratio = 2.0
+        # Sharp peak -> expectation ~= argmax; no half-pixel offset
+        # ((x_norm + 0.5) * w cancels exactly, `transforms.py:628-631`).
         np.testing.assert_allclose(
             np.asarray(coords[0, 0]),
-            [(10.5 - 24) * ratio + 100, (20.5 - 32) * ratio + 200],
+            [(10 - 24) * ratio + 100, (20 - 32) * ratio + 200],
             atol=0.1)
-        assert float(conf[0, 0]) > 0.5
+        # softmax norm -> confidence 1.0 (`_integral_tensor`).
+        np.testing.assert_allclose(float(conf[0, 0]), 1.0)

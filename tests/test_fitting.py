@@ -294,3 +294,59 @@ class TestUse3D:
         # 3D term pulls the fit to the right translation.
         np.testing.assert_allclose(np.asarray(result.params.transl),
                                    np.asarray(true.transl), atol=0.05)
+
+
+class TestOutlierGates:
+    def test_angle_gate_consistency(self, assets, rng):
+        """When the angle prior trips the reference's 1e4 gate, both the
+        scalar energy AND the residual form drop it (`fitting.py:349`)."""
+        cam, obs, true, _ = make_problem(
+            assets, vposer_lib.random_weights(), rng)
+        spec = EnergySpec(use_vposer=False, prior_type="l2")
+        w = StageWeights.make(data=0.46, pose=4.78, shape=5.0)
+        # Extreme knee/elbow bends -> exp terms explode past the gate.
+        pose = jnp.zeros(69).at[jnp.asarray([52, 9])].set(-8.0)
+        params = true.replace(body_pose=pose)
+        x = pack(spec, params)
+        from mvsmplfitting_tpu.fitting.energy import energy_terms
+        terms = energy_terms(spec, assets, cam, obs, w, None, None, x)
+        assert float(terms["angle_prior"]) == 0.0       # gated off
+        r = residuals(spec, assets, cam, obs, w, None, None, x)
+        e = total_energy(spec, assets, cam, obs, w, None, None, x)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(e),
+                                   rtol=1e-5)
+
+    def test_gmm_gate_consistency(self, assets, rng):
+        gmm = random_gmm()
+        cam, obs, true, _ = make_problem(
+            assets, vposer_lib.random_weights(), rng)
+        spec = EnergySpec(use_vposer=False, prior_type="gmm")
+        w = StageWeights.make(data=0.46, pose=404.0, shape=5.0)
+        # A pose far from every mixture component trips the 5e4 gate.
+        pose = jnp.full((69,), 3.0)
+        params = true.replace(body_pose=pose)
+        x = pack(spec, params)
+        base = float(gmm.merged_nll(pose)) * 404.0 ** 2
+        assert base > 5e4
+        r = residuals(spec, assets, cam, obs, w, None, gmm, x)
+        e = total_energy(spec, assets, cam, obs, w, None, gmm, x)
+        # With the term gated in BOTH forms, the residual square equals
+        # the scalar energy exactly (the -log w offset is also gated).
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(e),
+                                   rtol=1e-5)
+
+
+class TestSingleViewInit:
+    def test_masked_first_view(self, assets, vposer_w, rng):
+        """Single live view that is NOT view 0 must still produce a
+        finite initial guess (the reference Python-filters dead views;
+        we mask — regression for the hardcoded-view-0 heuristic)."""
+        cam, obs, true, _ = make_problem(assets, vposer_w, rng)
+        only3 = obs.replace(
+            view_mask=jnp.asarray([0, 0, 0, 1, 0, 0], jnp.float32),
+            gt2d=obs.gt2d.at[jnp.asarray([0, 1, 2, 4, 5])].set(0.0))
+        guess = init_guess(assets, cam, only3.gt2d, only3.conf,
+                           only3.view_mask)
+        assert np.isfinite(np.asarray(guess.params.transl)).all()
+        assert np.isfinite(float(guess.params.scale))
+        assert np.isfinite(np.asarray(guess.params.global_orient)).all()

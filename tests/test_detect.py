@@ -332,3 +332,32 @@ class TestIntegralDecode:
             atol=0.1)
         # softmax norm -> confidence 1.0 (`_integral_tensor`).
         np.testing.assert_allclose(float(conf[0, 0]), 1.0)
+
+
+class TestSimplePose:
+    def test_output_shape(self):
+        from mvsmplfitting_tpu.detect.simplepose import SimplePose
+
+        m = SimplePose(num_joints=17)
+        # Stride-32-divisible input: output is input/4 like the torch
+        # SimplePose (non-divisible widths round up at the backbone).
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        out = m.apply(p, jnp.zeros((2, 64, 64, 3)))
+        assert out.shape == (2, 16, 16, 17)
+
+    def test_deconv_matches_torch(self, rng):
+        import torch
+        import flax.linen as fnn
+
+        x = rng.standard_normal((1, 6, 5, 8)).astype(np.float32)
+        tc = torch.nn.ConvTranspose2d(8, 4, 4, 2, 1, bias=False)
+        w = tc.weight.detach().numpy()
+        with torch.no_grad():
+            want = tc(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+        fl = fnn.ConvTranspose(4, (4, 4), strides=(2, 2),
+                               padding="SAME", use_bias=False)
+        kern = np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+        got = fl.apply({"params": {"kernel": jnp.asarray(kern)}},
+                       jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

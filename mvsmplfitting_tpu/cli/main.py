@@ -195,14 +195,27 @@ def main(argv=None) -> int:
         if cfg.fix_shape and cfg.shape is not None:
             params = params.replace(
                 betas=jnp.asarray(cfg.shape, jnp.float32))
+        if not cfg.use_vposer:
+            # sic: the reference's fix_params (`init_guess.py:190-212`,
+            # called every frame at `main.py:81`) resets body_pose to
+            # [1]*6 + [0]*63; with VPoser the model pose is unused so
+            # only the non-VPoser path sees it.
+            params = params.replace(body_pose=jnp.concatenate(
+                [jnp.ones(6), jnp.zeros(63)]).astype(jnp.float32))
 
         t0 = time.time()
         result = fit_jit(obs, params, z, float(frame.img_hw[0]), seq_start)
         jax.block_until_ready(result.loss)
         stage_str = " ".join(f"{float(s):.1f}"
                              for s in np.asarray(result.stage_losses))
+        from ..fitting.energy import reprojection_error_px
+        from ..fitting import pack as pack_x
+        err_px = float(reprojection_error_px(
+            sess.fit_config.spec, sess.assets, sess.cameras, obs,
+            sess.vposer, pack_x(sess.fit_config.spec, result.params,
+                                result.z)))
         print(f"  stages [{stage_str}] final {float(result.loss):.3f} "
-              f"in {time.time() - t0:.2f}s")
+              f"reproj {err_px:.2f}px in {time.time() - t0:.2f}s")
         prev = (result.params, result.z, result.loss)
         n_frames += 1
         _save_frame_outputs(cfg, sess, frame, result, result_root,

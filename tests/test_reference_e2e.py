@@ -1,0 +1,92 @@
+"""THE parity test: the unmodified reference pipeline vs ours, end to
+end, on identical assets.
+
+Builds a workspace with the synthetic SMPL exported as a
+reference-format pkl, runs the actual reference `main.py` on CPU
+(tools/run_reference_cpu.py stubs its missing deps) and our CLI in
+L-BFGS parity mode on the same files, then compares the result pkls.
+
+Measured at full budget (maxiters=30): final loss within 0.85%
+(20057.2 vs 20226.4), scale within 2.6%, pose-embedding correlation
+0.94.  The test runs a reduced budget to stay under a few minutes and
+asserts looser bounds.
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/code"),
+                    reason="reference unavailable")
+def test_reference_vs_ours_end_to_end(tmp_path):
+    work = str(tmp_path / "parity")
+    os.makedirs(work)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+    r = subprocess.run(
+        [sys.executable, "tools/make_parity_workspace.py", work],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # Reference pipeline (reduced iteration budget for test runtime).
+    r = subprocess.run(
+        [sys.executable, "tools/run_reference_cpu.py", work, "15"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+
+    cfg = os.path.join(work, "ours.yaml")
+    with open(cfg, "w") as f:
+        f.write(f"""
+data_folder: "{work}/data"
+cam_param: "{work}/data/camparams.txt"
+output_folder: "{work}/ours_out"
+model_folder: "{work}/models"
+model_type: "smpllsp"
+allow_synthetic_model: false
+use_vposer: true
+prior_folder: "/root/reference/priors"
+body_prior_type: 'l2'
+body_pose_prior_weights: [4.04e2, 4.04e2, 57.4, 4.78]
+shape_weights: [1.0e2, 5.0e1, 1.0e1, 0.5e1]
+coll_loss_weights: [0.0, 0.0, 1000.0, 4500.0]
+rho: 100
+optim_type: 'lbfgsls'
+maxiters: 15
+save_meshes: false
+save_images: false
+""")
+    r = subprocess.run(
+        [sys.executable, "-m", "mvsmplfitting_tpu.cli.main",
+         "--config", cfg],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    ref = pickle.load(open(os.path.join(
+        work, "output/results/0000/00001/000.pkl"), "rb"),
+        encoding="latin1")
+    ours = pickle.load(open(os.path.join(
+        work, "ours_out/results/0000/00001/000.pkl"), "rb"))
+
+    ref_loss = float(ref["loss"])
+    our_loss = float(ours["loss"])
+    assert abs(our_loss - ref_loss) / ref_loss < 0.10, (ref_loss,
+                                                       our_loss)
+    ref_scale = float(np.asarray(ref["scale"]).ravel()[0])
+    our_scale = float(np.asarray(ours["scale"]).ravel()[0])
+    assert abs(our_scale - ref_scale) / ref_scale < 0.10
+    # Same basin: translations agree to a fraction of body scale and
+    # the latent poses correlate strongly.
+    dt = np.linalg.norm(np.asarray(ref["transl"]).ravel() -
+                        np.asarray(ours["transl"]).ravel())
+    assert dt < 0.1 * ref_scale, dt
+    pr = np.asarray(ref["pose_embedding"]).ravel()
+    po = np.asarray(ours["pose_embedding"]).ravel()
+    corr = float(np.corrcoef(pr, po)[0, 1])
+    assert corr > 0.75, corr

@@ -2,11 +2,14 @@
 
 Measures frames/s of the full fit (init + 4-stage LM anneal, 6 views,
 17 joints, batched) on the default device (the TPU chip under the
-driver; CPU with the env overrides).  `vs_baseline` compares against a
-reference-CPU stand-in measured in the same process: the same energy
-and iteration budget run one-frame-at-a-time on one CPU core-set, the
-way the reference's Python loop does (the reference itself publishes no
-numbers and cannot run here — its SMPL pkl download is license-gated).
+driver; CPU with the env overrides).
+
+`vs_baseline` compares against the ACTUAL reference pipeline measured
+on this machine's CPU via the parity harness
+(`tools/run_reference_cpu.py`, unmodified reference code, full demo
+budget): 58.8 s of fitting per frame = 0.017 frames/s.  A same-energy
+jitted-CPU stand-in is also measured live and reported in `detail` for
+a conservative apples-to-apples number.
 
 Prints ONE JSON line.
 """
@@ -18,6 +21,10 @@ import os
 import time
 
 import numpy as np
+
+# Measured 2026-08-17 on this machine (see docs/PARITY.md): unmodified
+# reference pipeline, `Body fitting done after 58.8105 seconds`, 1 frame.
+REFERENCE_CPU_FPS = 1.0 / 58.8
 
 # Persistent compilation cache: repeat bench runs skip the multi-minute
 # first compile through the TPU tunnel.  (TPU only — XLA:CPU AOT cache
@@ -140,15 +147,17 @@ def main():
         "metric": "smpl_fit_throughput",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / base_fps, 2) if base_fps == base_fps
-        else None,
+        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 1),
         "detail": {
             "batch": BATCH,
             "views": 6,
             "stages": 4,
             "solver": "lm",
             "device": str(dev.platform),
-            "baseline_cpu_sequential_fps": round(base_fps, 3)
+            "reference_cpu_fps_measured": round(REFERENCE_CPU_FPS, 4),
+            "same_energy_jitted_cpu_sequential_fps": round(base_fps, 3)
+            if base_fps == base_fps else None,
+            "vs_jitted_cpu_stand_in": round(fps / base_fps, 1)
             if base_fps == base_fps else None,
             "final_loss_mean": float(np.asarray(loss).mean()),
         },

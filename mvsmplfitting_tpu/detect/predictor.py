@@ -66,10 +66,14 @@ class PoseEstimator:
 
     def __init__(self, params=None, num_joints: int = 26,
                  input_hw: Tuple[int, int] = (256, 192),
-                 seed: int = 0, batch: int = 80):
+                 seed: int = 0, batch: int = 80,
+                 use_pose_nms: bool = False):
         self.model = FastPose(num_joints=num_joints)
         self.input_hw = input_hw
         self.batch = batch
+        # Parametric pose NMS, off by default like the reference demo
+        # (`alphapose_core.py:35-37`); enable for crowded scenes.
+        self.use_pose_nms = use_pose_nms
         if params is None:
             dummy = jnp.zeros((1, *input_hw, 3))
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -94,9 +98,17 @@ class PoseEstimator:
         hms = jnp.concatenate(hms, axis=0)
         coords, conf = heatmap_to_coords(hms, jnp.asarray(centers),
                                          jnp.asarray(scales))
+        coords = np.asarray(coords)
+        conf = np.asarray(conf)
+        if self.use_pose_nms and coords.shape[0] > 1:
+            from .pose_nms import pose_nms
+            scores = (boxes_xyxy[:, 4] if boxes_xyxy.shape[1] > 4
+                      else np.ones(len(boxes_xyxy), np.float32))
+            _, coords, conf = pose_nms(
+                np.asarray(boxes_xyxy[:, :4], np.float32), scores,
+                coords, conf)
         return np.concatenate(
-            [np.asarray(coords), np.asarray(conf)[..., None]],
-            axis=-1).astype(np.float32)
+            [coords, conf[..., None]], axis=-1).astype(np.float32)
 
 
 class KeypointPipeline:

@@ -131,3 +131,73 @@ class TestNativeLoader:
         for v in range(6):
             ref = read_keypoints_json(paths[v])[0]
             np.testing.assert_allclose(kp[v, 0], ref, rtol=1e-6)
+
+
+class TestDataEdgeCases:
+    def _make_tree(self, tmp_path, with_keyp=(True, False)):
+        """Two cameras, one frame; keypoints present only per flag."""
+        import json
+
+        from PIL import Image
+
+        for v, has in enumerate(with_keyp):
+            cam = f"Camera{v:02d}"
+            img_dir = tmp_path / "images" / "0007" / cam
+            os.makedirs(img_dir, exist_ok=True)
+            Image.new("RGB", (32, 24)).save(str(img_dir / "00001.jpg"))
+            if has:
+                kp_dir = tmp_path / "keypoints" / "0007" / cam
+                os.makedirs(kp_dir, exist_ok=True)
+                people = [{"pose_keypoints_2d":
+                           list(np.arange(51, dtype=float))}]
+                with open(kp_dir / "00001_keypoints.json", "w") as f:
+                    json.dump({"version": 1.1, "people": people}, f)
+        return str(tmp_path)
+
+    def test_missing_view_masked(self, tmp_path):
+        root = self._make_tree(tmp_path, with_keyp=(True, False))
+        ds = FittingDataset(root)
+        frame = ds[0]
+        np.testing.assert_array_equal(frame.view_mask, [1.0, 0.0])
+        assert (frame.keypoints[1] == 0).all()   # padded
+
+    def test_no_keypoints_at_all(self, tmp_path):
+        root = self._make_tree(tmp_path, with_keyp=(False, False))
+        ds = FittingDataset(root)
+        frame = ds[0]
+        assert frame.view_mask.sum() == 0
+
+    def test_multiple_people_padded(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        img_dir = tmp_path / "images" / "0008" / "Camera00"
+        os.makedirs(img_dir)
+        Image.new("RGB", (32, 24)).save(str(img_dir / "00001.jpg"))
+        kp_dir = tmp_path / "keypoints" / "0008" / "Camera00"
+        os.makedirs(kp_dir)
+        people = [{"pose_keypoints_2d": [float(i)] * 51}
+                  for i in range(3)]
+        with open(kp_dir / "00001_keypoints.json", "w") as f:
+            json.dump({"people": people}, f)
+        ds = FittingDataset(str(tmp_path), max_people=2)
+        frame = ds[0]
+        assert frame.keypoints.shape[1] == 2     # clamped to max_people
+        np.testing.assert_array_equal(frame.person_mask[0], [1.0, 1.0])
+
+    def test_empty_people_list(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        img_dir = tmp_path / "images" / "0009" / "Camera00"
+        os.makedirs(img_dir)
+        Image.new("RGB", (32, 24)).save(str(img_dir / "00001.jpg"))
+        kp_dir = tmp_path / "keypoints" / "0009" / "Camera00"
+        os.makedirs(kp_dir)
+        with open(kp_dir / "00001_keypoints.json", "w") as f:
+            json.dump({"people": []}, f)
+        ds = FittingDataset(str(tmp_path))
+        frame = ds[0]
+        assert frame.view_mask.sum() == 0

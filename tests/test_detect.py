@@ -395,3 +395,21 @@ class TestHRNet:
         a1 = m.apply(p, jnp.ones((1, 64, 64, 3)))
         b1 = m.apply(p2, jnp.ones((1, 64, 64, 3)))
         assert float(jnp.abs(a1 - b1).max()) > 1e-6
+
+
+class TestHarDNet:
+    def test_link_recursion_matches_reference_tables(self):
+        from mvsmplfitting_tpu.detect.hardnet import HarDBlock
+
+        # HarDNet-68 base-block output channels, per the reference's
+        # `channels = [64, 124, 328, 654]` table (`hardnet.py:429`).
+        assert HarDBlock.out_ch(64, 14, 1.7, 8) == 124
+
+    def test_output_shape_and_finite(self):
+        from mvsmplfitting_tpu.detect.hardnet import HarDNetPose
+
+        m = HarDNetPose(num_joints=17)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        out = m.apply(p, jnp.ones((2, 128, 128, 3)))
+        assert out.shape == (2, 32, 32, 17)       # input / 4
+        assert np.isfinite(np.asarray(out)).all()

@@ -12,7 +12,12 @@ downloads (`README.md:18-22`).
 
 from .yolox import YOLOX, decode_outputs, postprocess_boxes
 from .fastpose import FastPose
+from .simplepose import SimplePose
+from .hrnet import PoseHRNet
+from .hardnet import HarDNetPose
+from .pose_nms import pose_nms
 from .preprocess import (
     letterbox, bbox_to_center_scale, crop_affine, heatmap_to_coords,
+    heatmap_to_coords_integral,
 )
 from .predictor import PersonDetector, PoseEstimator, KeypointPipeline

@@ -93,20 +93,53 @@ class EnergySpec:
     interpenetration: bool = struct.field(pytree_node=False, default=False)
     coll_grid_size: int = struct.field(pytree_node=False, default=32)
     use_pallas_sdf: bool = struct.field(pytree_node=False, default=False)
+    # SMPL-H/X optimizable blocks (0 / False = absent).  hand_dim is the
+    # per-hand block size: the reference's `num_pca_comps=6`
+    # (`body_models.py:424`), or 45 for raw axis-angle (use_pca=False).
+    hand_dim: int = struct.field(pytree_node=False, default=0)
+    num_expr: int = struct.field(pytree_node=False, default=0)
+    opt_face: bool = struct.field(pytree_node=False, default=False)
 
 
 # ---------------------------------------------------------------------------
 # Flat parameter vector <-> structured params.
-# Layout: [pose_block, betas(10), global_orient(3), transl(3), scale(1)]
-# where pose_block is z(32) with vposer or body_pose(69) without.
+# Layout: [pose_block, betas(10), global_orient(3), transl(3), scale(1),
+#          lhand(HD), rhand(HD), expression(NE), jaw(3), leye(3), reye(3)]
+# where pose_block is z(32) with vposer or body_pose(69) without, and the
+# tail blocks exist only when the spec enables them (SMPL-H/X).
 # ---------------------------------------------------------------------------
 
 def pose_dim(spec: EnergySpec) -> int:
     return LATENT_DIM if spec.use_vposer else 69
 
 
+def extra_dims(spec: EnergySpec) -> int:
+    """Total size of the SMPL-H/X tail blocks."""
+    return (2 * spec.hand_dim + spec.num_expr +
+            (9 if spec.opt_face else 0))
+
+
 def num_unknowns(spec: EnergySpec) -> int:
-    return pose_dim(spec) + spec.num_betas + 3 + 3 + 1
+    return pose_dim(spec) + spec.num_betas + 3 + 3 + 1 + extra_dims(spec)
+
+
+def _tail_blocks(spec: EnergySpec, params: SMPLParams, dtype):
+    """The enabled tail blocks from params (None behaves as zeros)."""
+    out = []
+
+    def blk(v, d):
+        return v if v is not None else jnp.zeros((d,), dtype)
+
+    if spec.hand_dim:
+        out.append(blk(params.left_hand_pose, spec.hand_dim))
+        out.append(blk(params.right_hand_pose, spec.hand_dim))
+    if spec.num_expr:
+        out.append(blk(params.expression, spec.num_expr))
+    if spec.opt_face:
+        out.append(blk(params.jaw_pose, 3))
+        out.append(blk(params.leye_pose, 3))
+        out.append(blk(params.reye_pose, 3))
+    return out
 
 
 def pack(spec: EnergySpec, params: SMPLParams,
@@ -114,7 +147,7 @@ def pack(spec: EnergySpec, params: SMPLParams,
     block = z if spec.use_vposer else params.body_pose
     return jnp.concatenate([
         block, params.betas, params.global_orient, params.transl,
-        params.scale[None]])
+        params.scale[None]] + _tail_blocks(spec, params, block.dtype))
 
 
 def unpack(spec: EnergySpec, x: jnp.ndarray
@@ -125,12 +158,27 @@ def unpack(spec: EnergySpec, x: jnp.ndarray
     orient = x[p + nb:p + nb + 3]
     transl = x[p + nb + 3:p + nb + 6]
     scale = x[p + nb + 6]
+
+    tail = {}
+    o = p + nb + 7
+    if spec.hand_dim:
+        tail["left_hand_pose"] = x[o:o + spec.hand_dim]
+        tail["right_hand_pose"] = x[o + spec.hand_dim:o + 2 * spec.hand_dim]
+        o += 2 * spec.hand_dim
+    if spec.num_expr:
+        tail["expression"] = x[o:o + spec.num_expr]
+        o += spec.num_expr
+    if spec.opt_face:
+        tail["jaw_pose"] = x[o:o + 3]
+        tail["leye_pose"] = x[o + 3:o + 6]
+        tail["reye_pose"] = x[o + 6:o + 9]
+
     if spec.use_vposer:
         return SMPLParams(betas=betas, global_orient=orient,
                           body_pose=jnp.zeros((69,), x.dtype),
-                          transl=transl, scale=scale), block
+                          transl=transl, scale=scale, **tail), block
     return SMPLParams(betas=betas, global_orient=orient, body_pose=block,
-                      transl=transl, scale=scale), None
+                      transl=transl, scale=scale, **tail), None
 
 
 def free_mask(spec: EnergySpec) -> jnp.ndarray:
@@ -141,6 +189,8 @@ def free_mask(spec: EnergySpec) -> jnp.ndarray:
              else jnp.ones((spec.num_betas,)))
     m.append(jnp.ones((6,)))
     m.append(jnp.zeros((1,)) if spec.fix_scale else jnp.ones((1,)))
+    if extra_dims(spec):
+        m.append(jnp.ones((extra_dims(spec),)))
     return jnp.concatenate(m)
 
 
@@ -218,9 +268,26 @@ def energy_terms(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
         coll = collision_energy(verts, assets.faces, weights.coll,
                                 spec.coll_grid_size, spec.use_pallas_sdf)
 
+    # SMPL-H/X block priors (framework extension: the reference's smplx
+    # fitting path is latently broken — `body_models_scale.py:622,935`
+    # omit lbs()'s scale arg — so there is no reference schedule; these
+    # follow smplify-x's structure: L2 on hand-PCA/face pose at the pose
+    # weight, L2 on expression at the shape weight).
+    extra = jnp.zeros(())
+    if spec.hand_dim:
+        extra = extra + (jnp.sum(params.left_hand_pose ** 2) +
+                         jnp.sum(params.right_hand_pose ** 2)
+                         ) * weights.pose ** 2
+    if spec.num_expr:
+        extra = extra + jnp.sum(params.expression ** 2) * weights.shape ** 2
+    if spec.opt_face:
+        extra = extra + (jnp.sum(params.jaw_pose ** 2) +
+                         jnp.sum(params.leye_pose ** 2) +
+                         jnp.sum(params.reye_pose ** 2)) * weights.pose ** 2
+
     return {"joint": joint_loss, "joint3d": loss3d, "pose_prior": pprior,
             "shape_prior": shape_loss, "angle_prior": angle,
-            "collision": coll}
+            "collision": coll, "extra_prior": extra}
 
 
 def total_energy(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
@@ -230,7 +297,8 @@ def total_energy(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     """Scalar fitting energy — the quantity the reference minimizes."""
     t = energy_terms(spec, assets, cam, obs, weights, vposer_w, gmm, x)
     return (t["joint"] + t["joint3d"] + t["pose_prior"] +
-            t["shape_prior"] + t["angle_prior"] + t["collision"])
+            t["shape_prior"] + t["angle_prior"] + t["collision"] +
+            t["extra_prior"])
 
 
 def data_residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
@@ -316,6 +384,18 @@ def prior_residuals(spec: EnergySpec, weights: StageWeights,
         gate = jax.lax.stop_gradient(total_angle <= 1e4)
         angle_rows = jnp.where(gate, 1.0, 0.0) * angle_rows
     rows.append(angle_rows)
+
+    # SMPL-H/X block priors (see energy_terms): L2 rows whose squares
+    # reproduce the scalar extra_prior exactly.
+    if spec.hand_dim:
+        rows.append(weights.pose * params.left_hand_pose)
+        rows.append(weights.pose * params.right_hand_pose)
+    if spec.num_expr:
+        rows.append(weights.shape * params.expression)
+    if spec.opt_face:
+        rows.append(weights.pose * params.jaw_pose)
+        rows.append(weights.pose * params.leye_pose)
+        rows.append(weights.pose * params.reye_pose)
     return jnp.concatenate(rows)
 
 

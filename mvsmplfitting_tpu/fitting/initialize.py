@@ -120,6 +120,19 @@ def warm_start(prev_params: SMPLParams, prev_z: jnp.ndarray,
     def pick(a, b):
         return jnp.where(use_prev, a, b)
 
-    params = jax.tree.map(pick, prev_params, fresh.params)
+    # Align optional SMPL-H/X blocks: a fitted previous frame carries
+    # them while a fresh guess does not — fill missing sides with zeros
+    # so the pytrees match.
+    fresh_params = fresh.params
+    for name in ("left_hand_pose", "right_hand_pose", "expression",
+                 "jaw_pose", "leye_pose", "reye_pose"):
+        pv = getattr(prev_params, name)
+        fv = getattr(fresh_params, name)
+        if pv is not None and fv is None:
+            fresh_params = fresh_params.replace(**{name: jnp.zeros_like(pv)})
+        elif pv is None and fv is not None:
+            prev_params = prev_params.replace(**{name: jnp.zeros_like(fv)})
+
+    params = jax.tree.map(pick, prev_params, fresh_params)
     z = pick(prev_z, fresh.z)
     return InitGuess(params=params, z=z, joints3d=fresh.joints3d)

@@ -59,8 +59,33 @@ def load_smpl_pkl(path: str) -> dict:
 
 def _build(raw: dict, model_type: str, gender: str,
            lsp_regressor: Optional[np.ndarray], pose_format: Optional[str],
-           dtype=jnp.float32) -> SMPLAssets:
-    shapedirs = np.asarray(raw["shapedirs"], np.float32)[..., : J.NUM_BETAS]
+           dtype=jnp.float32, flat_hand_mean: bool = False,
+           num_expr: int = 10) -> SMPLAssets:
+    full_shapedirs = np.asarray(raw["shapedirs"], np.float32)
+    shapedirs = full_shapedirs[..., : J.NUM_BETAS]
+    # SMPL-X: expression blend shapes are the shapedirs columns after the
+    # shape ones; the reference concatenates [betas(10), expression(10)]
+    # and multiplies the full shapedirs (`body_models.py:914-921`).
+    expr_dirs = None
+    if model_type == "smplx" and full_shapedirs.shape[-1] > J.NUM_BETAS:
+        hi = min(full_shapedirs.shape[-1], J.NUM_BETAS + num_expr)
+        expr_dirs = jnp.asarray(full_shapedirs[..., J.NUM_BETAS:hi], dtype)
+
+    # MANO hand PCA (SMPL-H/X pkl keys `hands_components{l,r}`,
+    # `hands_mean{l,r}` — `body_models.py:493-513`).  Means become zeros
+    # under flat_hand_mean, exactly like the reference's buffers.
+    hand_components = hand_means = None
+    if "hands_componentsl" in raw:
+        hand_components = jnp.asarray(np.stack([
+            np.asarray(raw["hands_componentsl"], np.float32),
+            np.asarray(raw["hands_componentsr"], np.float32)]), dtype)
+        if flat_hand_mean:
+            means = np.zeros((2, 45), np.float32)
+        else:
+            means = np.stack([np.asarray(raw["hands_meanl"], np.float32),
+                              np.asarray(raw["hands_meanr"], np.float32)])
+        hand_means = jnp.asarray(means, dtype)
+
     posedirs = np.asarray(raw["posedirs"], np.float32)
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # (207, V*3)
     parents = tuple(int(p) for p in np.asarray(raw["kintree_table"])[0])
@@ -81,6 +106,9 @@ def _build(raw: dict, model_type: str, gender: str,
         joint_map=jnp.asarray(J.model_to_annotation(model_type, fmt), jnp.int32),
         lsp_regressor=(None if lsp_regressor is None
                        else jnp.asarray(lsp_regressor, dtype)),
+        hand_components=hand_components,
+        hand_means=hand_means,
+        expr_dirs=expr_dirs,
         parents=parents,
         model_type=model_type,
         gender=gender,
@@ -90,34 +118,56 @@ def _build(raw: dict, model_type: str, gender: str,
 def load_smpl(model_folder: str, model_type: str = "smpl",
               gender: str = "neutral",
               lsp_regressor_path: Optional[str] = None,
-              pose_format: Optional[str] = None) -> SMPLAssets:
-    """Load SMPL assets the way the reference resolves them.
+              pose_format: Optional[str] = None,
+              flat_hand_mean: bool = False,
+              num_expr: int = 10) -> SMPLAssets:
+    """Load SMPL-family assets the way the reference resolves them.
 
-    `model_folder` may be the directory containing `smpl/SMPL_<GENDER>.pkl`
-    or a direct path to a pkl.  For model_type "smpllsp" an LSP 14-joint
-    regressor npz (key `joint_regressor`, (14, V)) is required.
+    `model_folder` may be the directory containing
+    `<family>/<FAMILY>_<GENDER>.pkl` (family = smpl / smplh / smplx, with
+    smpllsp using the smpl files — `body_models_scale.py:82-87`,
+    `body_models.py:483-484,717-718`) or a direct path to a pkl/npz.
+    For model_type "smpllsp" an LSP 14-joint regressor npz (key
+    `joint_regressor`, (14, V)) is required.
     """
+    family = "smpl" if model_type == "smpllsp" else model_type
     path = model_folder
     if os.path.isdir(path):
-        sub = os.path.join(path, "smpl")
+        sub = os.path.join(path, family)
         if os.path.isdir(sub):
             path = sub
-        path = os.path.join(path, f"SMPL_{gender.upper()}.pkl")
+        base = os.path.join(path, f"{family.upper()}_{gender.upper()}")
+        # pkl is canonical for smpl/smplh, npz for smplx (`ext` defaults,
+        # `body_models.py:656,717`); accept either.
+        for ext in (".pkl", ".npz"):
+            if os.path.exists(base + ext):
+                path = base + ext
+                break
+        else:
+            path = base + ".pkl"
     if not os.path.exists(path):
-        raise FileNotFoundError(f"SMPL model not found: {path}")
-    raw = load_smpl_pkl(path)
+        raise FileNotFoundError(f"{family} model not found: {path}")
+    if path.endswith(".npz"):
+        with np.load(path, allow_pickle=True) as data:
+            raw = {k: data[k] for k in data.files}
+        raw = {k: (v.item() if v.dtype == object and v.shape == () else v)
+               for k, v in raw.items()}
+    else:
+        raw = load_smpl_pkl(path)
 
     lsp = None
     if model_type == "smpllsp":
         if lsp_regressor_path is None:
             raise ValueError("smpllsp requires lsp_regressor_path")
         lsp = np.load(lsp_regressor_path)["joint_regressor"]
-    return _build(raw, model_type, gender, lsp, pose_format)
+    return _build(raw, model_type, gender, lsp, pose_format,
+                  flat_hand_mean=flat_hand_mean, num_expr=num_expr)
 
 
 def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
                    pose_format: Optional[str] = None,
-                   dtype=jnp.float32) -> SMPLAssets:
+                   dtype=jnp.float32,
+                   flat_hand_mean: bool = False) -> SMPLAssets:
     """Deterministic synthetic SMPL-family model for tests and benchmarks.
 
     Full production shapes (6890 verts / 24 joints for SMPL(-H: 52),
@@ -237,7 +287,10 @@ def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
     lbs_weights = (w / w.sum(1, keepdims=True)).astype(np.float32)
 
     num_pose = 9 * (nj - 1)
-    shapedirs = (0.01 * rng.standard_normal((num_verts, 3, J.NUM_BETAS))
+    # SMPL-X raw shapedirs carry 10 shape + 10 expression columns
+    # (split by `_build`, mirroring the real npz layout).
+    num_shape_cols = J.NUM_BETAS + (10 if model_type == "smplx" else 0)
+    shapedirs = (0.01 * rng.standard_normal((num_verts, 3, num_shape_cols))
                  ).astype(np.float32)
     posedirs = (0.001 * rng.standard_normal((num_pose, num_verts * 3))
                 ).astype(np.float32)
@@ -258,4 +311,16 @@ def synthetic_smpl(model_type: str = "smpl", seed: int = 0,
         "kintree_table": np.stack([
             np.asarray(parents), np.arange(nj)]),
     }
-    return _build(raw, model_type, "neutral", lsp, pose_format, dtype)
+    if model_type in ("smplh", "smplx"):
+        # MANO-like hand PCA: orthonormal 45-D bases + small mean poses,
+        # in the real pkl key layout.
+        ql, _ = np.linalg.qr(rng.standard_normal((45, 45)))
+        qr_, _ = np.linalg.qr(rng.standard_normal((45, 45)))
+        raw["hands_componentsl"] = ql.astype(np.float32)
+        raw["hands_componentsr"] = qr_.astype(np.float32)
+        raw["hands_meanl"] = (0.1 * rng.standard_normal(45)
+                              ).astype(np.float32)
+        raw["hands_meanr"] = (0.1 * rng.standard_normal(45)
+                              ).astype(np.float32)
+    return _build(raw, model_type, "neutral", lsp, pose_format, dtype,
+                  flat_hand_mean=flat_hand_mean)

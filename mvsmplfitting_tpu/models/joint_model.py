@@ -37,7 +37,7 @@ import numpy as np
 from flax import struct
 
 from ..ops.rotations import rodrigues
-from .smpl import SMPLAssets, SMPLParams, _rigid_chain
+from .smpl import SMPLAssets, SMPLParams, _rigid_chain, assemble_chain_pose
 
 
 @struct.dataclass
@@ -51,7 +51,16 @@ class JointModel:
     JB: jnp.ndarray        # (24, 3, NB) rest-joint shape basis
     chain_idx: jnp.ndarray  # (K,) int32: source chain joint or -1
     chain_mask: jnp.ndarray  # (K,) 1.0 where chain-derived
-    parents: Tuple[int, ...] = struct.field(pytree_node=False)
+    # SMPL-X expression fold (None otherwise): same algebra as Hb/JB
+    # over expr_dirs.
+    He: Optional[jnp.ndarray] = None  # (K, J, 3, NE)
+    JE: Optional[jnp.ndarray] = None  # (J, 3, NE)
+    # Hand-PCA data shared with the full assets (for pose assembly).
+    hand_components: Optional[jnp.ndarray] = None  # (2, C, 45)
+    hand_means: Optional[jnp.ndarray] = None       # (2, 45)
+    parents: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=None)
+    model_type: str = struct.field(pytree_node=False, default="smpl")
 
 
 def build_joint_model(assets: SMPLAssets) -> JointModel:
@@ -104,12 +113,22 @@ def build_joint_model(assets: SMPLAssets) -> JointModel:
     j0 = JR @ vt                                          # (J, 3)
     JB = np.einsum("jv,vcb->jcb", JR, S)                  # (J, 3, NB)
 
+    He = JE = None
+    if assets.expr_dirs is not None:
+        Ed = np.asarray(assets.expr_dirs)                 # (V, 3, NE)
+        He = jnp.asarray(np.einsum("kjv,vce->kjce", GW, Ed))
+        JE = jnp.asarray(np.einsum("jv,vce->jce", JR, Ed))
+
     return JointModel(
         H0=jnp.asarray(H0), Hb=jnp.asarray(Hb), Hp=jnp.asarray(Hp),
         j0=jnp.asarray(j0), JB=jnp.asarray(JB),
         chain_idx=jnp.asarray(np.maximum(chain_idx, 0)),
         chain_mask=jnp.asarray(chain_mask),
-        parents=assets.parents)
+        He=He, JE=JE,
+        hand_components=assets.hand_components,
+        hand_means=assets.hand_means,
+        parents=assets.parents,
+        model_type=assets.model_type)
 
 
 def with_joint_model(assets: SMPLAssets) -> SMPLAssets:
@@ -122,8 +141,9 @@ def joint_forward(jm: JointModel, params: SMPLParams,
     """Mapped annotation joints (K, 3) without touching vertices."""
     pose = body_pose if body_pose is not None else params.body_pose
     J = len(jm.parents)
+    pose = assemble_chain_pose(jm, params, pose)
     need = (J - 1) * 3
-    if pose.shape[-1] < need:   # SMPL-H/X: rest hands/face by default
+    if pose.shape[-1] < need:   # plain SMPL body pose is already 69
         pose = jnp.concatenate(
             [pose, jnp.zeros(pose.shape[:-1] + (need - pose.shape[-1],),
                              pose.dtype)], axis=-1)
@@ -132,6 +152,12 @@ def joint_forward(jm: JointModel, params: SMPLParams,
     dtype = jm.H0.dtype
     betas = params.betas.astype(dtype)
     j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
+
+    shape_off = jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
+    if params.expression is not None and jm.He is not None:
+        expr = params.expression.astype(dtype)
+        j_rest = j_rest + jnp.einsum("jce,e->jc", jm.JE, expr)
+        shape_off = shape_off + jnp.einsum("kjce,e->kjc", jm.He, expr)
 
     rot_mats = rodrigues(full_pose.reshape(J, 3))
     posed_joints, A = _rigid_chain(rot_mats, j_rest, jm.parents,
@@ -142,8 +168,7 @@ def joint_forward(jm: JointModel, params: SMPLParams,
 
     H = (jm.H0
          + jnp.concatenate(
-             [jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
-              + jnp.einsum("kjcp,p->kjc", jm.Hp, pf),
+             [shape_off + jnp.einsum("kjcp,p->kjc", jm.Hp, pf),
               jnp.zeros(jm.H0.shape[:2] + (1,), dtype)], axis=-1))
 
     vert_joints = jnp.einsum("jab,kjb->ka", A[:, :3, :4], H)

@@ -48,6 +48,18 @@ class SMPLAssets:
     # `joint_model.with_joint_model(assets)`.
     joint_model: Optional[object] = None
 
+    # SMPL-H / SMPL-X production data (None for plain SMPL):
+    # MANO hand PCA — the *full* bases are stored; the energy spec picks
+    # how many components to optimize (`num_pca_comps=6` in the
+    # reference, `body_models.py:424-425,493-496`).
+    hand_components: Optional[jnp.ndarray] = None  # (2, C, 45)  [left, right]
+    hand_means: Optional[jnp.ndarray] = None       # (2, 45); zeros when
+    #                                       flat_hand_mean (body_models.py:505-513)
+    # SMPL-X expression blend shapes (columns 10:20 of the model's
+    # shapedirs — the reference concatenates [betas, expression] and uses
+    # the full shapedirs, `body_models.py:914-921`).
+    expr_dirs: Optional[jnp.ndarray] = None        # (V, 3, NE)
+
     parents: Tuple[int, ...] = struct.field(
         pytree_node=False, default=J.SMPL_PARENTS)
     model_type: str = struct.field(pytree_node=False, default="smpl")
@@ -61,16 +73,32 @@ class SMPLAssets:
     def num_betas(self) -> int:
         return self.shapedirs.shape[-1]
 
+    @property
+    def num_expr(self) -> int:
+        return 0 if self.expr_dirs is None else self.expr_dirs.shape[-1]
+
 
 @struct.dataclass
 class SMPLParams:
-    """Per-body parameters (a single body; vmap for batches)."""
+    """Per-body parameters (a single body; vmap for batches).
+
+    The SMPL-H / SMPL-X blocks are optional (None for plain SMPL): hand
+    poses are MANO PCA coefficients (C,) — or raw axis-angle (45,) when
+    bypassing the PCA — expression is (NE,) coefficients, and the face
+    poses are per-joint axis-angle (3,).  None behaves as zeros.
+    """
 
     betas: jnp.ndarray          # (10,)
     global_orient: jnp.ndarray  # (3,)
     body_pose: jnp.ndarray      # (69,)
     transl: jnp.ndarray         # (3,)
     scale: jnp.ndarray          # ()
+    left_hand_pose: Optional[jnp.ndarray] = None   # (C,) PCA or (45,) aa
+    right_hand_pose: Optional[jnp.ndarray] = None  # (C,) PCA or (45,) aa
+    expression: Optional[jnp.ndarray] = None       # (NE,)
+    jaw_pose: Optional[jnp.ndarray] = None         # (3,)
+    leye_pose: Optional[jnp.ndarray] = None        # (3,)
+    reye_pose: Optional[jnp.ndarray] = None        # (3,)
 
     @classmethod
     def zeros(cls, num_betas: int = 10, dtype=jnp.float32) -> "SMPLParams":
@@ -81,6 +109,72 @@ class SMPLParams:
             transl=jnp.zeros((3,), dtype),
             scale=jnp.ones((), dtype),
         )
+
+
+NUM_HAND_JOINTS = 15          # per hand (MANO), SMPL-H/X
+HAND_AA = 3 * NUM_HAND_JOINTS  # 45
+BODY63 = 63                   # 21 body joints for SMPL-H/X
+
+
+def _hand_aa(model, block: Optional[jnp.ndarray], side: int,
+             dtype) -> jnp.ndarray:
+    """One hand's (45,) axis-angle from its parameter block.
+
+    PCA coefficients are decoded through the model's MANO components
+    (`body_models.py:593-596`: `einsum('bi,ij->bj')`); a (45,) block is
+    raw axis-angle (the reference's `use_pca=False` path).  The hand
+    mean is always added — it is zeros when the model was loaded with
+    `flat_hand_mean=True` (`body_models.py:505-513`).
+    """
+    if block is None:
+        aa = jnp.zeros((HAND_AA,), dtype)
+    elif block.shape[-1] == HAND_AA:
+        aa = block
+    else:
+        aa = block @ model.hand_components[side, : block.shape[-1]]
+    if model.hand_means is not None:
+        aa = aa + model.hand_means[side]
+    return aa
+
+
+def assemble_chain_pose(assets, params: SMPLParams,
+                        pose: jnp.ndarray) -> jnp.ndarray:
+    """Full ((J-1)*3,) chain pose from the body pose + optional blocks.
+
+    `assets` is any model carrier with `.parents`, `.model_type`,
+    `.hand_components`, `.hand_means` (SMPLAssets or the reduced
+    JointModel).
+
+    SMPL/SMPL-LSP: the 69-dim body pose is the chain pose.  SMPL-H:
+    [body(63), left hand(45), right hand(45)]; SMPL-X: [body(63),
+    jaw(3), leye(3), reye(3), hands(90)] — the reference's full_pose
+    assembly plus pose_mean (`body_models.py:596-608,903-910`).  A pose
+    that is already full chain length is passed through untouched
+    (raw-pose escape hatch used by synthetic tests).
+
+    Note the reference's *scaled* SMPL-H/X forwards are latently broken
+    (they call `lbs()` without its required `scale` argument,
+    `body_models_scale.py:622,935`) — this implements the intended
+    semantics: the stock smplx assembly with the scaled-SMPL root-scale.
+    """
+    J = len(assets.parents)
+    need = (J - 1) * 3
+    if assets.model_type in ("smpl", "smpllsp") or pose.shape[-1] == need:
+        return pose
+
+    body = pose[..., :BODY63]
+    if body.shape[-1] < BODY63:
+        body = jnp.concatenate(
+            [body, jnp.zeros(body.shape[:-1] + (BODY63 - body.shape[-1],),
+                             body.dtype)], axis=-1)
+    pieces = [body]
+    if assets.model_type == "smplx":
+        for blk in (params.jaw_pose, params.leye_pose, params.reye_pose):
+            pieces.append(blk if blk is not None
+                          else jnp.zeros((3,), body.dtype))
+    pieces.append(_hand_aa(assets, params.left_hand_pose, 0, body.dtype))
+    pieces.append(_hand_aa(assets, params.right_hand_pose, 1, body.dtype))
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
@@ -112,13 +206,18 @@ def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
 
 
 def lbs(assets: SMPLAssets, betas: jnp.ndarray, full_pose: jnp.ndarray,
-        scale: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        scale: jnp.ndarray, expression: Optional[jnp.ndarray] = None
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Linear blend skinning for one body (generic joint count).
 
     Args:
       betas: (NB,) shape coefficients.
       full_pose: (J*3,) axis-angle (root + J-1 joints).
       scale: () root scale.
+      expression: optional (NE,) SMPL-X expression coefficients; applied
+        through `expr_dirs` exactly like the reference's concatenated
+        [betas, expression] against the full shapedirs
+        (`body_models.py:914-921`), so rest joints move with it too.
 
     Returns:
       verts (V, 3), posed joints (J, 3) — both *before* translation.
@@ -127,6 +226,9 @@ def lbs(assets: SMPLAssets, betas: jnp.ndarray, full_pose: jnp.ndarray,
     J = len(assets.parents)
     v_shaped = assets.v_template + jnp.einsum(
         "vct,t->vc", assets.shapedirs, betas.astype(dtype))
+    if expression is not None and assets.expr_dirs is not None:
+        v_shaped = v_shaped + jnp.einsum(
+            "vce,e->vc", assets.expr_dirs, expression.astype(dtype))
     j_rest = assets.j_regressor @ v_shaped  # (J, 3)
 
     rot_mats = rodrigues(full_pose.reshape(J, 3))  # (J, 3, 3)
@@ -152,19 +254,15 @@ def smpl_forward(assets: SMPLAssets, params: SMPLParams,
     regression from vertices) -> append surface keypoints -> gather into
     annotation order -> add translation.  `body_pose` overrides
     `params.body_pose` (used when the pose comes from the VPoser decoder).
-    For SMPL-H / SMPL-X assets a shorter body pose is zero-padded: hand,
-    jaw, and eye joints rest flat unless explicitly posed (the
-    reference's default hand/face behavior).
+    For SMPL-H / SMPL-X the full chain pose is assembled from the body
+    pose plus the optional hand-PCA / jaw / eye blocks and the model's
+    hand means (see `assemble_chain_pose`).
     """
     pose = body_pose if body_pose is not None else params.body_pose
-    J = len(assets.parents)
-    need = (J - 1) * 3
-    if pose.shape[-1] < need:
-        pose = jnp.concatenate(
-            [pose, jnp.zeros(pose.shape[:-1] + (need - pose.shape[-1],),
-                             pose.dtype)], axis=-1)
+    pose = assemble_chain_pose(assets, params, pose)
     full_pose = jnp.concatenate([params.global_orient, pose])
-    verts, posed_joints = lbs(assets, params.betas, full_pose, params.scale)
+    verts, posed_joints = lbs(assets, params.betas, full_pose, params.scale,
+                              expression=params.expression)
 
     if assets.model_type == "smpllsp":
         base_joints = assets.lsp_regressor @ verts  # (14, 3)

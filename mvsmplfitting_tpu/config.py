@@ -53,7 +53,7 @@ class Config:
     coll_loss_weights: Tuple[float, ...] = (0.0, 0.0, 1000.0, 4500.0)
     # optimization
     rho: float = 100.0
-    optim_type: str = "lm"            # lm (primary) | lbfgsls (parity)
+    optim_type: str = "lm"  # lm (primary) | lbfgsls (parity) | adam|rmsprop|sgd
     ftol: float = 1e-9
     gtol: float = 1e-9
     lr: float = 1.0

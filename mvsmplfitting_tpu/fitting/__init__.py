@@ -12,6 +12,7 @@ from .energy import (
     free_mask,
     num_unknowns,
 )
+from .gradient import gradient_fit, GradientOptions
 from .initialize import init_guess, warm_start, InitGuess
 from .lbfgs import lbfgs_fit, LBFGSOptions
 from .lm import lm_fit, LMOptions

@@ -24,6 +24,7 @@ from ..models.smpl import SMPLAssets, SMPLParams
 from ..models.vposer import VPoserWeights
 from . import energy as E
 from .energy import EnergySpec, Observations, StageWeights
+from .gradient import GradientOptions, gradient_fit
 from .lbfgs import LBFGSOptions, lbfgs_fit
 from .lm import LMOptions, lm_fit, lm_fit_staged
 
@@ -51,6 +52,8 @@ class FitConfig:
     lm: LMOptions = struct.field(pytree_node=False, default=LMOptions())
     lbfgs: LBFGSOptions = struct.field(
         pytree_node=False, default=LBFGSOptions())
+    grad: GradientOptions = struct.field(
+        pytree_node=False, default=GradientOptions())
     # Fused mode: all stages in ONE while_loop (lm_fit_staged).  Same
     # math, but measured ~25% slower than the unrolled stages (XLA
     # constant-folds per-stage weights in the unrolled form) with no
@@ -118,7 +121,13 @@ def run_stage(cfg: FitConfig, assets: SMPLAssets, cam: Camera,
             return jax.value_and_grad(
                 lambda q: E.total_energy(spec, assets, cam, obs, weights,
                                          vposer_w, gmm, q))(xv)
-        x_new, loss = lbfgs_fit(fg, x, mask, cfg.lbfgs)
+        if cfg.solver in ("adam", "rmsprop", "sgd"):
+            opts = cfg.grad
+            if opts.optim_type != cfg.solver:
+                opts = opts.replace(optim_type=cfg.solver)
+            x_new, loss = gradient_fit(fg, x, mask, opts)
+        else:  # "lbfgs" / "lbfgsls" (parity solver)
+            x_new, loss = lbfgs_fit(fg, x, mask, cfg.lbfgs)
     return x_new, loss
 
 

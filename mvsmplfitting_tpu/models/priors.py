@@ -50,6 +50,25 @@ class GMMPrior:
         quad = jnp.einsum("mi,mij,mj->m", diff, self.precisions, diff)
         return jnp.min(0.5 * quad - jnp.log(self.nll_weights))
 
+    def log_likelihood(self, pose: jnp.ndarray,
+                       epsilon: float = 1e-16) -> jnp.ndarray:
+        """The reference's non-merged NLL (`prior.py:201-226`,
+        `use_merged=False`).
+
+        Reference quirks preserved: the quadratic term is NOT halved
+        (only the cov/pi constant is), and the selected component's
+        -log(nll_weight) is added at the end.
+        """
+        diff = pose[None, :] - self.means                   # (M, 69)
+        quad = jnp.einsum("mi,mij,mj->m", diff, self.precisions, diff)
+        d = self.means.shape[1]
+        cov_term = -2.0 * jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(self.prec_chol, axis1=1, axis2=2))),
+            axis=1)
+        ll = quad + 0.5 * (cov_term + d * jnp.log(2 * jnp.pi))
+        best = jnp.argmin(ll)
+        return -jnp.log(self.nll_weights[best]) + ll[best]
+
     def residuals(self, pose: jnp.ndarray) -> jnp.ndarray:
         """Least-squares form for Gauss-Newton: rows r with sum(r^2) equal to
         the argmin component's quadratic term (the -log w offset is locally

@@ -105,10 +105,18 @@ def build_session(cfg: Config) -> Session:
         rho=cfg.rho,
         interpenetration=cfg.interpenetration,
     )
-    solver = "lbfgs" if cfg.optim_type == "lbfgsls" else "lm"
+    # Full factory surface (`optim_factory.py:27-65`): lm (primary),
+    # lbfgs/lbfgsls (parity), adam/rmsprop/sgd (first-order).
+    if cfg.optim_type in ("lbfgs", "lbfgsls"):
+        solver = "lbfgs"
+    elif cfg.optim_type in ("adam", "rmsprop", "sgd"):
+        solver = cfg.optim_type
+    else:
+        solver = "lm"
     # The reference budget is maxiters(30) outer x 30 L-BFGS iters with
     # ftol cutting early; a single bounded loop with the same tolerances
     # covers it.
+    from mvsmplfitting_tpu.fitting.gradient import GradientOptions
     fit_config = FitConfig(
         spec=spec, solver=solver,
         pose_weights=tuple(cfg.body_pose_prior_weights),
@@ -118,6 +126,11 @@ def build_session(cfg: Config) -> Session:
                      ftol=cfg.ftol, gtol=cfg.gtol),
         lbfgs=LBFGSOptions(max_iters=cfg.maxiters * 4, lr=cfg.lr,
                            ftol=cfg.ftol, gtol=cfg.gtol),
+        grad=GradientOptions(optim_type=solver if solver in
+                             ("adam", "rmsprop", "sgd") else "adam",
+                             lr=(cfg.lr if cfg.lr < 1.0 else 1e-2),
+                             max_iters=cfg.maxiters * 30,
+                             ftol=cfg.ftol, gtol=cfg.gtol),
         is_seq=cfg.is_seq,
     )
     return Session(cfg=cfg, assets=assets, cameras=cameras,

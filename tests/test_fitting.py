@@ -164,6 +164,44 @@ class TestSolvers:
         np.testing.assert_allclose(np.asarray(x), [1.0, 0.0, 3.0],
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("optim_type", ["adam", "rmsprop", "sgd"])
+    def test_first_order_on_quadratic(self, optim_type):
+        """Factory variants (`optim_factory.py:27-65`) converge + mask."""
+        from mvsmplfitting_tpu.fitting.gradient import (GradientOptions,
+                                                        gradient_fit)
+
+        target = jnp.asarray([1.0, 2.0, 3.0])
+
+        def fg(x):
+            return jnp.sum((x - target) ** 2), 2 * (x - target)
+
+        opts = GradientOptions(optim_type=optim_type, lr=0.05,
+                               max_iters=2000, ftol=0.0)
+        mask = jnp.asarray([1.0, 0.0, 1.0])
+        x, loss = jax.jit(
+            lambda x0: gradient_fit(fg, x0, mask, opts))(jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(x), [1.0, 0.0, 3.0],
+                                   atol=2e-2)
+
+    def test_adam_staged_fit_smoke(self, assets, vposer_w, rng):
+        """A full staged fit driven by adam reduces the energy."""
+        from mvsmplfitting_tpu.fitting.gradient import GradientOptions
+        from mvsmplfitting_tpu.fitting.stages import default_stages
+
+        cam, obs, _, _ = make_problem(assets, vposer_w, rng)
+        spec = EnergySpec()
+        cfg = FitConfig(spec=spec, solver="adam",
+                        grad=GradientOptions(optim_type="adam", lr=1e-2,
+                                             max_iters=150))
+        guess = init_guess(assets, cam, obs.gt2d, obs.conf, obs.view_mask)
+        result = fit_frame(cfg, assets, cam, obs, guess.params, guess.z,
+                           vposer_w=vposer_w, img_height=1080.0)
+        assert np.isfinite(float(result.loss))
+        w_last = default_stages(cfg, jnp.asarray(1080.0))[-1]
+        init_e = total_energy(spec, assets, cam, obs, w_last, vposer_w,
+                              None, pack(spec, guess.params, guess.z))
+        assert float(result.loss) < float(init_e)
+
 
 class TestEndToEnd:
     @pytest.mark.parametrize("solver", ["lm", "lbfgs"])

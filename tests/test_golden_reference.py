@@ -89,6 +89,87 @@ class TestPriorsGolden:
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+class TestGMMGolden:
+    """GMM max-mixture prior vs the reference's `MaxMixturePrior`
+    (`prior.py:100-231`), instantiated from a synthetic mixture pkl in
+    the exact on-disk format (dict of means/covars/weights) — this also
+    exercises our real `load_gmm` pkl path."""
+
+    @pytest.fixture(scope="class")
+    def gmm_pkl(self, tmp_path_factory):
+        import pickle
+
+        rng = np.random.default_rng(7)
+        M, D = 8, 69
+        means = (0.3 * rng.standard_normal((M, D))).astype(np.float64)
+        covs = []
+        for _ in range(M):
+            a = 0.05 * rng.standard_normal((D, D))
+            covs.append(a @ a.T + 0.5 * np.eye(D))
+        covars = np.stack(covs)
+        weights = rng.dirichlet(np.ones(M))
+        d = tmp_path_factory.mktemp("gmm")
+        path = d / "gmm_08.pkl"
+        with open(path, "wb") as f:
+            pickle.dump({"means": means, "covars": covars,
+                         "weights": weights}, f)
+        return str(d), str(path)
+
+    @pytest.fixture(scope="class")
+    def ref_gmm(self, gmm_pkl):
+        try:
+            import prior as ref_prior
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference prior unavailable: {e}")
+        folder, _ = gmm_pkl
+        return ref_prior.MaxMixturePrior(prior_folder=folder,
+                                         num_gaussians=8, use_merged=True)
+
+    def test_merged_nll_matches(self, ref_gmm, gmm_pkl, rng):
+        torch = _torch()
+        from mvsmplfitting_tpu.models.priors import load_gmm
+
+        _, path = gmm_pkl
+        ours = load_gmm(path)
+        for _ in range(5):
+            pose = (0.5 * rng.standard_normal((1, 69))).astype(np.float32)
+            want = float(ref_gmm(torch.from_numpy(pose), None))
+            got = float(ours.merged_nll(jnp.asarray(pose[0])))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+
+    def test_non_merged_nll_matches(self, ref_gmm, gmm_pkl, rng):
+        torch = _torch()
+        from mvsmplfitting_tpu.models.priors import load_gmm
+
+        _, path = gmm_pkl
+        ours = load_gmm(path)
+        ref_gmm.use_merged = False
+        try:
+            for _ in range(3):
+                pose = (0.5 * rng.standard_normal((1, 69))
+                        ).astype(np.float32)
+                want = float(ref_gmm(torch.from_numpy(pose), None))
+                got = float(ours.log_likelihood(jnp.asarray(pose[0])))
+                np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
+        finally:
+            ref_gmm.use_merged = True
+
+    def test_residual_square_identity(self, gmm_pkl, rng):
+        """sum(residuals^2) equals the argmin component's 0.5*quad."""
+        from mvsmplfitting_tpu.models.priors import load_gmm
+
+        _, path = gmm_pkl
+        ours = load_gmm(path)
+        pose = jnp.asarray(
+            (0.5 * rng.standard_normal(69)).astype(np.float32))
+        r = ours.residuals(pose)
+        diff = pose[None] - ours.means
+        quad = jnp.einsum("mi,mij,mj->m", diff, ours.precisions, diff)
+        best = int(jnp.argmin(0.5 * quad - jnp.log(ours.nll_weights)))
+        np.testing.assert_allclose(float(jnp.sum(r * r)),
+                                   float(0.5 * quad[best]), rtol=1e-4)
+
+
 class TestGMoFGolden:
     def test_gmof(self, rng):
         torch = _torch()

@@ -21,3 +21,5 @@ from .preprocess import (
     heatmap_to_coords_integral,
 )
 from .predictor import PersonDetector, PoseEstimator, KeypointPipeline
+from .roi_align import roi_align, align_transform, clip_aspect_ratio
+from .deform_conv import deform_conv2d, dcn_offset_mask_split

@@ -158,20 +158,69 @@ class SELayer(nn.Module):
         return x * y[:, None, None, :]
 
 
+class DeformConvBlock(nn.Module):
+    """The Bottleneck's DCN conv2 (`SE_Resnet.py:72-101,117-127`).
+
+    A regular (zero-initialized) conv predicts the offsets — and the
+    modulation mask for DCNv2, split as the reference Bottleneck does:
+    offset = first 18*dg channels, mask = sigmoid of the last 9*dg
+    (`SE_Resnet.py:121-125`) — then the deformable conv samples and
+    contracts (see `deform_conv.py`).
+    """
+
+    planes: int
+    stride: int = 1
+    deformable_groups: int = 1
+    modulated: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from .deform_conv import deform_conv2d
+
+        dg = self.deformable_groups
+        offc = dg * (27 if self.modulated else 18)
+        om = nn.Conv(offc, (3, 3), strides=self.stride, padding=1,
+                     use_bias=True,
+                     kernel_init=nn.initializers.zeros,
+                     name="conv2_offset")(x)
+        w = self.param(
+            "kernel", nn.initializers.kaiming_normal(),
+            (3, 3, x.shape[-1], self.planes))
+        if self.modulated:
+            offset = om[..., :18 * dg]
+            mask = nn.sigmoid(om[..., -9 * dg:])
+        else:
+            offset, mask = om, None
+        return deform_conv2d(x, offset, w, stride=self.stride, padding=1,
+                             deformable_groups=dg, mask=mask)
+
+
 class ResBottleneck(nn.Module):
-    """ResNet-50 bottleneck with optional SE (`SE_Resnet.py:59-141`)."""
+    """ResNet-50 bottleneck with optional SE and optional DCN conv2
+    (`SE_Resnet.py:59-141`)."""
 
     planes: int
     stride: int = 1
     downsample: bool = False
     se: bool = False
+    dcn: bool = False
+    dcn_modulated: bool = False
+    deformable_groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = ConvBnAct(self.planes, 1, 1, act="relu", name="conv1")(x)
-        out = ConvBnAct(self.planes, 3, self.stride, act="relu",
-                        name="conv2")(out)
+        if self.dcn:
+            out = DeformConvBlock(self.planes, self.stride,
+                                  self.deformable_groups,
+                                  self.dcn_modulated, name="conv2")(out)
+            out = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                               name="bn2")(out)
+            out = nn.relu(out)
+        else:
+            out = ConvBnAct(self.planes, 3, self.stride, act="relu",
+                            name="conv2")(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       name="conv3")(out)
         out = nn.BatchNorm(use_running_average=True, epsilon=1e-5,

@@ -19,6 +19,11 @@ from .blocks import ConvBnAct, DUC, ResBottleneck, pixel_shuffle
 
 
 class SEResnet50(nn.Module):
+    # `-dcn-` zoo configs enable DCN per stage (`SE_Resnet.py:147,171`).
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = False
+    deformable_groups: int = 1
+
     @nn.compact
     def __call__(self, x):
         x = ConvBnAct(64, 7, 2, act="relu", name="stem")(x)
@@ -31,6 +36,9 @@ class SEResnet50(nn.Module):
                 x = ResBottleneck(
                     planes, stride if first else 1,
                     downsample=first, se=first,
+                    dcn=self.stage_with_dcn[s],
+                    dcn_modulated=self.dcn_modulated,
+                    deformable_groups=self.deformable_groups,
                     name=f"layer{s + 1}_{b}")(x)
         return x                                        # (N, H/32, W/32, 2048)
 
@@ -38,11 +46,17 @@ class SEResnet50(nn.Module):
 class FastPose(nn.Module):
     num_joints: int = 26
     conv_dim: int = 128
+    # (False, True, True, True) reproduces the `-dcn-` configs' backbone
+    # (`256x192_res50_lr1e-3_2x-dcn-regression.yaml` STAGE_WITH_DCN).
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: (N, 256, 192, 3) normalized crops -> (N, 64, 48, J)."""
-        x = SEResnet50(name="preact")(x)
+        x = SEResnet50(stage_with_dcn=self.stage_with_dcn,
+                       dcn_modulated=self.dcn_modulated,
+                       name="preact")(x)
         x = pixel_shuffle(x, 2)                          # 512 @ /16
         x = DUC(1024, 2, name="duc1")(x)                 # 256 @ /8
         x = DUC(512 if self.conv_dim == 128 else 1024, 2,

@@ -1,15 +1,19 @@
 """Benchmark: staged multi-view SMPL fitting throughput per chip.
 
-Measures frames/s of the full fit (init + 4-stage LM anneal, 6 views,
-17 joints, batched) on the default device (the TPU chip under the
-driver; CPU with the env overrides).
+Primary metric: frames/s of the full fit (init + 4-stage LM anneal) on
+REAL demo data — the reference's bundled keypoint JSONs + camera file
+loaded through `data/dataset.py`, exactly what the CLI fits — batched
+across the chip.  The synthetic self-consistent problem from round 1 is
+kept as a secondary number in `detail`.
+
+Also reports utilization: XLA `cost_analysis` FLOPs of the compiled fit
+program over the measured wall time vs the chip's peak (MFU), plus the
+roofline arithmetic intensity from the bytes-accessed estimate.
 
 `vs_baseline` compares against the ACTUAL reference pipeline measured
 on this machine's CPU via the parity harness
 (`tools/run_reference_cpu.py`, unmodified reference code, full demo
-budget): 58.8 s of fitting per frame = 0.017 frames/s.  A same-energy
-jitted-CPU stand-in is also measured live and reported in `detail` for
-a conservative apples-to-apples number.
+budget): 58.8 s of fitting per frame = 0.017 frames/s.
 
 Prints ONE JSON line.
 """
@@ -18,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -33,8 +39,24 @@ if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/mvsf_jax_cache")
 
+# Peak dense fp32-accumulate MXU throughput per chip, FLOP/s.  The fit
+# runs in fp32 (parity with the reference's float32 torch math), so the
+# honest ceiling is the fp32 matmul rate, with bf16 in `detail` for
+# context.  Sources: public TPU spec sheets.
+PEAK_FLOPS = {
+    "TPU v5 lite": {"fp32": 4.925e13, "bf16": 1.97e14},
+    "TPU v5e": {"fp32": 4.925e13, "bf16": 1.97e14},
+    "TPU v5p": {"fp32": 1.1475e14, "bf16": 4.59e14},
+    "TPU v4": {"fp32": 6.875e13, "bf16": 2.75e14},
+    "TPU v6e": {"fp32": 2.3e14, "bf16": 9.2e14},
+}
+HBM_BYTES_PER_S = {
+    "TPU v5 lite": 8.1e11, "TPU v5e": 8.1e11, "TPU v5p": 2.765e12,
+    "TPU v4": 1.2e12, "TPU v6e": 1.6e12,
+}
 
-def _fit_fn(cfg, assets, vposer_w, cam):
+
+def _fit_fn(cfg, assets, vposer_w, cam, gmm=None, img_height=1080.0):
     import jax
 
     from mvsmplfitting_tpu.fitting import fit_frame, init_guess
@@ -42,10 +64,98 @@ def _fit_fn(cfg, assets, vposer_w, cam):
     def one_frame(obs):
         guess = init_guess(assets, cam, obs.gt2d, obs.conf, obs.view_mask)
         r = fit_frame(cfg, assets, cam, obs, guess.params, guess.z,
-                      vposer_w=vposer_w, img_height=1080.0)
+                      vposer_w=vposer_w, gmm=gmm, img_height=img_height)
         return r.loss
 
     return one_frame
+
+
+def _real_problem():
+    """Session + observations for the bundled demo frame (real keypoint
+    JSONs + camera txt through `data/dataset.py`)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    work = "/tmp/mvsf_parity_ws"
+    if not os.path.exists(os.path.join(work, "data", "camparams.txt")):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "tools", "make_parity_workspace.py"),
+             work],
+            check=True, capture_output=True)
+
+    from mvsmplfitting_tpu.config import Config
+    from mvsmplfitting_tpu.data.dataset import frame_to_observations
+    from mvsmplfitting_tpu.session import build_session
+
+    cfg = Config(
+        data_folder=os.path.join(work, "data"),
+        cam_param=os.path.join(work, "data", "camparams.txt"),
+        output_folder=os.path.join(work, "bench_out"),
+        model_folder=os.path.join(work, "models"),
+        model_type="smpllsp",
+        use_vposer=True,
+        prior_folder="/root/reference/priors",
+        body_prior_type="l2",
+        optim_type="lm",
+        save_meshes=False, save_images=False)
+    sess = build_session(cfg)
+    frame = next(iter(sess.dataset))
+    obs = frame_to_observations(frame, sess.joint_weights)
+    return sess, obs, float(frame.img_hw[0])
+
+
+def _timed_fps(batched, obs, batch, reps=3):
+    import jax
+
+    loss = batched(obs)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        loss = batched(obs)
+        jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return batch / dt, dt, loss
+
+
+def _cost_analysis(batched, obs):
+    """(flops, bytes) of the compiled program, or (None, None)."""
+    try:
+        compiled = batched.lower(obs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return (float(cost.get("flops", 0.0)) or None,
+                float(cost.get("bytes accessed", 0.0)) or None)
+    except Exception:
+        return None, None
+
+
+def _utilization(flops, bytes_acc, dt, device):
+    kind = getattr(device, "device_kind", "")
+    peak = PEAK_FLOPS.get(kind)
+    hbm = HBM_BYTES_PER_S.get(kind)
+    out = {"device_kind": kind}
+    if flops:
+        out["program_gflops"] = round(flops / 1e9, 2)
+        out["achieved_gflops_per_s"] = round(flops / dt / 1e9, 1)
+        if peak:
+            out["mfu_fp32_pct"] = round(100.0 * flops / dt / peak["fp32"],
+                                        3)
+            out["mfu_bf16_pct"] = round(100.0 * flops / dt / peak["bf16"],
+                                        3)
+    if bytes_acc:
+        out["program_gbytes"] = round(bytes_acc / 1e9, 2)
+        if hbm:
+            out["hbm_bw_util_pct"] = round(
+                100.0 * bytes_acc / dt / hbm, 2)
+        if flops:
+            ai = flops / bytes_acc
+            out["arithmetic_intensity_flop_per_byte"] = round(ai, 2)
+            if peak and hbm:
+                ridge = peak["fp32"] / hbm
+                out["roofline_bound"] = ("memory" if ai < ridge
+                                         else "compute")
+                out["roofline_ridge_flop_per_byte"] = round(ridge, 1)
+    return out
 
 
 def sweep():
@@ -69,11 +179,7 @@ def sweep():
         obs = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (B,) + a.shape), obs1)
         f = jax.jit(jax.vmap(one))
-        jax.block_until_ready(f(obs))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            jax.block_until_ready(f(obs))
-        fps = B / ((time.perf_counter() - t0) / 3)
+        fps, _, _ = _timed_fps(f, obs, B)
         out[f"views{views}_fps"] = round(fps, 1)
 
     # Schur shared-shape sequence (config 2).
@@ -101,72 +207,74 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _make_problem
-    from mvsmplfitting_tpu.fitting import FitConfig
     from mvsmplfitting_tpu.fitting.lm import LMOptions
 
-    BATCH = 128  # measured optimum (stragglers in the vmapped
-    # while_loop erase gains beyond this)
-    cfg = FitConfig(lm=LMOptions(max_iters=40))
+    BATCH = int(os.environ.get("MVSF_BENCH_BATCH", "128"))
+    # 128 = measured optimum (stragglers in the vmapped while_loop
+    # erase gains beyond this); override via MVSF_BENCH_BATCH for
+    # CPU smoke runs.
+    dev = jax.devices()[0]
+    detail = {"batch": BATCH, "stages": 4, "solver": "lm",
+              "device": str(dev.platform)}
 
-    assets, vposer_w, cam, obs1 = _make_problem(num_views=6, num_frames=1)
+    # --- primary: REAL demo data through the data layer --------------
+    sess, obs1, img_h = _real_problem()
+    fit_cfg = sess.fit_config.replace(lm=LMOptions(max_iters=40))
+    one = _fit_fn(fit_cfg, sess.assets, sess.vposer, sess.cameras,
+                  gmm=sess.gmm, img_height=img_h)
     obs = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), obs1)
+    batched = jax.jit(jax.vmap(one))
 
-    dev = jax.devices()[0]
-    one = _fit_fn(cfg, assets, vposer_w, cam)
-    batched = jax.jit(jax.vmap(one), device=dev)
+    t_c0 = time.perf_counter()
+    flops, bytes_acc = _cost_analysis(batched, obs)
+    fps, dt, loss = _timed_fps(batched, obs, BATCH)
+    detail["compile_plus_first_run_s"] = round(
+        time.perf_counter() - t_c0 - 3 * dt, 1)
+    detail["views"] = int(obs1.gt2d.shape[0])
+    detail["real_final_loss_mean"] = float(np.asarray(loss).mean())
+    detail["utilization"] = _utilization(flops, bytes_acc, dt, dev)
 
-    # Warm-up / compile.
-    loss = batched(obs)
-    jax.block_until_ready(loss)
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        loss = batched(obs)
-        jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / reps
-    fps = BATCH / dt
+    # --- secondary: the synthetic self-consistent problem ------------
+    from __graft_entry__ import _make_problem
+    from mvsmplfitting_tpu.fitting import FitConfig
+    s_cfg = FitConfig(lm=LMOptions(max_iters=40))
+    s_assets, s_vw, s_cam, s_obs1 = _make_problem(num_views=6,
+                                                  num_frames=1)
+    s_one = _fit_fn(s_cfg, s_assets, s_vw, s_cam)
+    s_obs = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), s_obs1)
+    s_fps, _, _ = _timed_fps(jax.jit(jax.vmap(s_one)), s_obs, BATCH)
+    detail["synthetic_fps"] = round(s_fps, 1)
 
-    # Reference-CPU stand-in: same fit, one frame at a time on CPU.
+    # Reference-CPU stand-in: same real-data fit, one frame at a time
+    # on CPU (conservative apples-to-apples).
     try:
         cpu = jax.devices("cpu")[0]
         seq = jax.jit(one, device=cpu)
-        l = seq(obs1)
-        jax.block_until_ready(l)
+        jax.block_until_ready(seq(obs1))
         n = 3
         t0 = time.perf_counter()
         for _ in range(n):
-            l = seq(obs1)
-            jax.block_until_ready(l)
+            jax.block_until_ready(seq(obs1))
         base_fps = n / (time.perf_counter() - t0)
+        detail["same_energy_jitted_cpu_sequential_fps"] = round(
+            base_fps, 3)
+        detail["vs_jitted_cpu_stand_in"] = round(fps / base_fps, 1)
     except Exception:
-        base_fps = float("nan")
+        pass
+    detail["reference_cpu_fps_measured"] = round(REFERENCE_CPU_FPS, 4)
 
     print(json.dumps({
-        "metric": "smpl_fit_throughput",
+        "metric": "real_data_fit_throughput",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / REFERENCE_CPU_FPS, 1),
-        "detail": {
-            "batch": BATCH,
-            "views": 6,
-            "stages": 4,
-            "solver": "lm",
-            "device": str(dev.platform),
-            "reference_cpu_fps_measured": round(REFERENCE_CPU_FPS, 4),
-            "same_energy_jitted_cpu_sequential_fps": round(base_fps, 3)
-            if base_fps == base_fps else None,
-            "vs_jitted_cpu_stand_in": round(fps / base_fps, 1)
-            if base_fps == base_fps else None,
-            "final_loss_mean": float(np.asarray(loss).mean()),
-        },
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--sweep" in sys.argv:
         sweep()
     else:

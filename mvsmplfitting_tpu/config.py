@@ -67,6 +67,12 @@ class Config:
     is_seq: bool = False
     adjustment: bool = False
     interpenetration: bool = False
+    # The reference voxelizes collisions at grid 128
+    # (`code/utils/fitting.py:374`); the Pallas kernel handles it on
+    # TPU, the jnp oracle makes CPU runs at 128 slow but correct.
+    coll_grid_size: int = 128
+    # None -> auto: Pallas voxelizer on TPU, jnp oracle elsewhere.
+    use_pallas_sdf: Optional[bool] = None
     # batching / parallelism
     batch_frames: int = 1             # frames fitted per device program
     mesh_shape: Optional[Tuple[int, int]] = None  # (frames, cameras) axes

@@ -11,6 +11,7 @@ import os
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import numpy as np
 
 from .config import Config
@@ -104,6 +105,10 @@ def build_session(cfg: Config) -> Session:
         prior_type=cfg.body_prior_type,
         rho=cfg.rho,
         interpenetration=cfg.interpenetration,
+        coll_grid_size=cfg.coll_grid_size,
+        use_pallas_sdf=(jax.default_backend() == "tpu"
+                        if cfg.use_pallas_sdf is None
+                        else cfg.use_pallas_sdf),
     )
     # Full factory surface (`optim_factory.py:27-65`): lm (primary),
     # lbfgs/lbfgsls (parity), adam/rmsprop/sgd (first-order).

@@ -117,6 +117,21 @@ class TestSdfGrid:
             interpret=True))
         np.testing.assert_allclose(phi_pl, phi_ref, atol=1e-5)
 
+    def test_pallas_lane_tiled_matches_jnp(self):
+        """The G=128-style lane split (N/L tiles per z-slab) is exact.
+
+        Exercised via `_max_lanes` so the tiled code path runs at a
+        test-sized grid; on hardware the split only engages at G > 64.
+        """
+        verts, faces = icosphere(radius=0.55, n=10)
+        G = 16
+        phi_ref = np.asarray(sdf_grid(jnp.asarray(verts),
+                                      jnp.asarray(faces), G))
+        phi_pl = np.asarray(sdf_grid_pallas(
+            jnp.asarray(verts), jnp.asarray(faces), G, interpret=True,
+            _max_lanes=64))       # 256 voxels/slab -> 4 lane tiles
+        np.testing.assert_allclose(phi_pl, phi_ref, atol=1e-5)
+
 
 class TestGridSample:
     def test_matches_torch_grid_sample(self, rng):
@@ -135,6 +150,69 @@ class TestGridSample:
             mode="bilinear", padding_mode="zeros",
             align_corners=False).view(-1).numpy()
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestGridSampleJVP:
+    """The custom-JVP sampler must match torch grid_sample's autograd
+    (the reference differentiates through `F.grid_sample` of a detached
+    phi, `code/utils/fitting.py:381-391`)."""
+
+    def test_coord_gradient_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as tF
+
+        G = 9
+        phi = rng.standard_normal((G, G, G)).astype(np.float32)
+        coords = rng.uniform(-1.2, 1.2, size=(50, 3)).astype(np.float32)
+
+        g = np.asarray(jax.grad(lambda c: jnp.sum(jnp.sin(
+            grid_sample_trilinear(jnp.asarray(phi), c) * 2.0)))(
+            jnp.asarray(coords)))
+
+        tc = torch.from_numpy(coords).requires_grad_(True)
+        out = tF.grid_sample(
+            torch.from_numpy(phi)[None, None], tc.view(1, -1, 1, 1, 3),
+            mode="bilinear", padding_mode="zeros",
+            align_corners=False).view(-1)
+        torch.sin(out * 2.0).sum().backward()
+        np.testing.assert_allclose(g, tc.grad.view(-1, 3).numpy(),
+                                   atol=1e-5)
+
+    def test_phi_gradient_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as tF
+
+        G = 7
+        phi = rng.standard_normal((G, G, G)).astype(np.float32)
+        coords = rng.uniform(-1.1, 1.1, size=(40, 3)).astype(np.float32)
+
+        gp = np.asarray(jax.grad(lambda p: jnp.sum(
+            grid_sample_trilinear(p, jnp.asarray(coords)) ** 2))(
+            jnp.asarray(phi)))
+
+        tp = torch.from_numpy(phi).requires_grad_(True)
+        out = tF.grid_sample(
+            tp[None, None], torch.from_numpy(coords).view(1, -1, 1, 1, 3),
+            mode="bilinear", padding_mode="zeros",
+            align_corners=False).view(-1)
+        (out ** 2).sum().backward()
+        np.testing.assert_allclose(gp, tp.grad.numpy(), atol=1e-5)
+
+    def test_jvp_matches_finite_difference(self, rng):
+        G = 8
+        phi = rng.standard_normal((G, G, G)).astype(np.float32)
+        c0 = rng.uniform(-0.8, 0.8, size=(20, 3)).astype(np.float32)
+        dc = rng.standard_normal((20, 3)).astype(np.float32)
+
+        _, tangent = jax.jvp(
+            lambda c: grid_sample_trilinear(jnp.asarray(phi), c),
+            (jnp.asarray(c0),), (jnp.asarray(dc),))
+        eps = 1e-4
+        fd = (np.asarray(grid_sample_trilinear(
+                  jnp.asarray(phi), jnp.asarray(c0 + eps * dc))) -
+              np.asarray(grid_sample_trilinear(
+                  jnp.asarray(phi), jnp.asarray(c0 - eps * dc)))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(tangent), fd, atol=2e-2)
 
 
 class TestCollisionEnergy:

@@ -23,3 +23,5 @@ from .preprocess import (
 from .predictor import PersonDetector, PoseEstimator, KeypointPipeline
 from .roi_align import roi_align, align_transform, clip_aspect_ratio
 from .deform_conv import deform_conv2d, dcn_offset_mask_split
+from .hybrik import Simple3DPoseSMPLCam, integral_uvd, uvd_to_xyz
+from .metrics import heatmap_pck, keypoint_map, keypoint_oks

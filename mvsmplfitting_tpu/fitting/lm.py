@@ -21,7 +21,7 @@ reference's `requires_grad=False` freezing (`init_guess.py:190-212`).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,16 +48,26 @@ class _LMState(NamedTuple):
     done: jnp.ndarray
 
 
-def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+def lm_fit(residual_fn: Callable[..., jnp.ndarray],
            x0: jnp.ndarray,
            mask: jnp.ndarray,
            opts: LMOptions = LMOptions(),
+           aux_fn: Optional[Callable[[jnp.ndarray], object]] = None,
            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``sum(residual_fn(x)**2)`` from ``x0``.
 
     Args:
-      residual_fn: x (n,) -> r (m,); must be jit-traceable.
+      residual_fn: x (n,) -> r (m,); must be jit-traceable.  With
+        `aux_fn`, the signature is ``residual_fn(x, aux)``.
       mask: (n,) 1.0 for free parameters, 0.0 for frozen.
+      aux_fn: optional per-ITERATION auxiliary state, computed once
+        from the iterate (under stop_gradient) and held fixed through
+        the linearization AND the trial evaluation of that iteration.
+        This is the lagged-SDF hook: voxelizing the collision grids
+        once per LM iteration instead of once per residual evaluation
+        halves the dominant voxelization cost while keeping the
+        reference's sampling semantics (phi is gradient-detached there
+        anyway, `sdf/sdf/sdf.py:17-19`).
 
     Returns:
       (x_final (n,), final loss ()).
@@ -65,15 +75,28 @@ def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     n = x0.shape[0]
     eye = jnp.eye(n, dtype=x0.dtype)
 
-    def loss_of(x):
-        r = residual_fn(x)
+    if aux_fn is None:
+        def res(x, aux):
+            return residual_fn(x)
+
+        def make_aux(x):
+            return ()
+    else:
+        res = residual_fn
+
+        def make_aux(x):
+            return jax.tree.map(jax.lax.stop_gradient, aux_fn(x))
+
+    def loss_of(x, aux):
+        r = res(x, aux)
         return jnp.sum(r * r)
 
     def step(state: _LMState) -> _LMState:
+        aux = make_aux(state.x)
         # linearize shares the primal trace between r and the n JVPs
         # (one residual evaluation fewer per iteration than jacfwd + a
         # separate primal call).
-        r, lin = jax.linearize(residual_fn, state.x)
+        r, lin = jax.linearize(lambda x: res(x, aux), state.x)
         J = jax.vmap(lin)(eye).T * mask[None, :]   # (m, n)
         g = J.T @ r                       # (n,) gradient/2
         JtJ = J.T @ J
@@ -85,11 +108,14 @@ def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         dx = -jnp.linalg.solve(A, g) * mask
 
         new_x = state.x + dx
-        new_loss = loss_of(new_x)
-        accept = jnp.isfinite(new_loss) & (new_loss < state.loss)
+        new_loss = loss_of(new_x, aux)
+        # Compare against the loss under THIS iteration's aux (the
+        # carried loss may have been computed under a stale grid).
+        loss_here = jnp.sum(r * r)
+        accept = jnp.isfinite(new_loss) & (new_loss < loss_here)
 
         x = jnp.where(accept, new_x, state.x)
-        loss = jnp.where(accept, new_loss, state.loss)
+        loss = jnp.where(accept, new_loss, loss_here)
         lam = jnp.clip(
             jnp.where(accept, state.lam * opts.lambda_down,
                       state.lam * opts.lambda_up),
@@ -97,19 +123,21 @@ def lm_fit(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
         # Stop rules mirroring the reference monitor (`fitting.py:99-117`):
         # relative f-change below ftol (only on accepted steps), max |grad|
-        # below gtol, or NaN/Inf.
-        rel = jnp.abs(state.loss - new_loss) / jnp.maximum(
-            jnp.maximum(jnp.abs(state.loss), jnp.abs(new_loss)), 1.0)
+        # below gtol, or NaN/Inf.  `loss_here` (this iteration's aux)
+        # rather than the carried loss, so a lagged-aux refresh never
+        # fakes an f-change.
+        rel = jnp.abs(loss_here - new_loss) / jnp.maximum(
+            jnp.maximum(jnp.abs(loss_here), jnp.abs(new_loss)), 1.0)
         small_f = accept & (rel <= opts.ftol)
         small_g = jnp.max(jnp.abs(g)) < opts.gtol
-        bad = ~jnp.isfinite(new_loss) & ~jnp.isfinite(state.loss)
+        bad = ~jnp.isfinite(new_loss) & ~jnp.isfinite(loss_here)
         done = state.done | small_f | small_g | bad
         return _LMState(x=x, loss=loss, lam=lam, it=state.it + 1, done=done)
 
     def cond(state: _LMState):
         return (state.it < opts.max_iters) & ~state.done
 
-    init = _LMState(x=x0, loss=loss_of(x0),
+    init = _LMState(x=x0, loss=loss_of(x0, make_aux(x0)),
                     lam=jnp.asarray(opts.init_lambda, x0.dtype),
                     it=jnp.zeros((), jnp.int32),
                     done=jnp.zeros((), jnp.bool_))

@@ -90,7 +90,17 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
             return verts
         return jax.vmap(person_verts)(xs)              # (P, V, 3)
 
-    def joint_residual(flat):
+    from ..ops.sdf import collision_sums_sampled, person_grids
+
+    def grids_of(flat):
+        # Lagged-SDF aux: voxelized ONCE per LM iteration (under
+        # stop_gradient via lm_fit's aux hook), not once per residual
+        # evaluation — the voxelizer dominates the refinement cost and
+        # phi carries no gradient anyway (`sdf/sdf/sdf.py:17-19`).
+        return person_grids(all_verts(flat.reshape(P, n)), assets.faces,
+                            spec.coll_grid_size, spec.use_pallas_sdf)
+
+    def joint_residual(flat, grids):
         xs = flat.reshape(P, n)
 
         def person_rows(x, obs):
@@ -99,15 +109,14 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
 
         rows = jax.vmap(person_rows)(xs, obs_people).reshape(-1)
 
-        from ..ops.sdf import collision_sums
-        s = collision_sums(all_verts(xs), assets.faces,
-                           spec.coll_grid_size, spec.use_pallas_sdf)
+        phi, centers, scales = grids
+        s = collision_sums_sampled(phi, centers, scales, all_verts(xs))
         coll_rows = weights.coll * s / P
         return jnp.concatenate([rows, coll_rows])
 
     mask = jnp.tile(E.free_mask(solo_spec), P)
     flat, loss = lm_fit(joint_residual, xs0.reshape(-1), mask,
-                        cfg.lm.replace(max_iters=15))
+                        cfg.lm.replace(max_iters=15), aux_fn=grids_of)
     xs = flat.reshape(P, n)
 
     def unpack_person(x):

@@ -505,6 +505,48 @@ grid_sample_trilinear.defjvp(_grid_sample_trilinear_jvp,
                              symbolic_zeros=True)
 
 
+def person_grids(verts: jnp.ndarray, faces: jnp.ndarray,
+                 grid_size: int = 32,
+                 use_pallas: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Voxelize each person's mesh into its box-normalized phi grid.
+
+    Returns (phi (P, G, G, G), centers (P, 3), scales (P,)) with the
+    reference's 1.2x-padded normalization (`code/utils/fitting.py:
+    369-378`).  phi is NOT detached here — callers apply
+    `stop_gradient` (the lagged-LM aux path does it wholesale).
+    """
+    if verts.ndim == 2:
+        verts = verts[None]
+    P = verts.shape[0]
+    boxes_min = verts.min(axis=1)                     # (P, 3)
+    boxes_max = verts.max(axis=1)
+    centers = 0.5 * (boxes_min + boxes_max)           # (P, 3)
+    scales = 1.2 * 0.5 * jnp.max(boxes_max - boxes_min,
+                                 axis=-1)             # (P,)
+    grid_fn = sdf_grid_pallas if use_pallas else sdf_grid
+    phis = [grid_fn((verts[i] - centers[i]) / scales[i], faces,
+                    grid_size) for i in range(P)]
+    return jnp.stack(phis), centers, scales
+
+
+def collision_sums_sampled(phi: jnp.ndarray, centers: jnp.ndarray,
+                           scales: jnp.ndarray, verts: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """s_i = sum over ALL persons' vertices of phi_i at those vertices.
+
+    phi: (P, G, G, G); verts: (P, V, 3).  Every person's vertices are
+    sampled in every person's grid (self included — the reference
+    comments out the self-weight zeroing, `fitting.py:374-375`).
+    """
+    P = phi.shape[0]
+    sums = []
+    for i in range(P):
+        local = (verts - centers[i]) / scales[i]       # (P, V, 3)
+        sums.append(jnp.sum(grid_sample_trilinear(phi[i], local)))
+    return jnp.stack(sums)
+
+
 def collision_sums(verts: jnp.ndarray, faces: jnp.ndarray,
                    grid_size: int = 32,
                    use_pallas: bool = False) -> jnp.ndarray:
@@ -512,32 +554,24 @@ def collision_sums(verts: jnp.ndarray, faces: jnp.ndarray,
 
     Mirrors `code/utils/fitting.py:352-394`: per-person box-normalized
     grid with 1.2x padding; every person's vertices sampled in every
-    person's phi (self included — the reference comments out the
-    self-weight zeroing at `fitting.py:374-375`).  phi is
-    gradient-detached (like `sdf/sdf/sdf.py:17-19`), so gradients flow
-    only through the sampling positions.  Returns (P,).
+    person's phi.  phi is gradient-detached (like `sdf/sdf/sdf.py:
+    17-19`), so gradients flow only through the sampling positions
+    (including the box normalization of the sample coordinates).
+    Returns (P,).
     """
     if verts.ndim == 2:
         verts = verts[None]
-    P = verts.shape[0]
-
-    boxes_min = verts.min(axis=1)                     # (P, 3)
+    phi, centers, scales = person_grids(
+        jax.lax.stop_gradient(verts), faces, grid_size, use_pallas)
+    phi = jax.lax.stop_gradient(phi)
+    # Sample coordinates keep live gradients: recompute the box frame
+    # from the LIVE verts (the reference normalizes with grad-carrying
+    # min/max there too).
+    boxes_min = verts.min(axis=1)
     boxes_max = verts.max(axis=1)
-    centers = 0.5 * (boxes_min + boxes_max)           # (P, 3)
-    scales = 1.2 * 0.5 * jnp.max(boxes_max - boxes_min,
-                                 axis=-1)             # (P,)
-
-    grid_fn = sdf_grid_pallas if use_pallas else sdf_grid
-
-    sums = []
-    for i in range(P):
-        vn = (verts[i] - centers[i]) / scales[i]
-        phi = jax.lax.stop_gradient(
-            grid_fn(jax.lax.stop_gradient(vn), faces, grid_size))
-        local = (verts - centers[i]) / scales[i]       # (P, V, 3)
-        phi_val = grid_sample_trilinear(phi, local)    # (P, V)
-        sums.append(jnp.sum(phi_val))
-    return jnp.stack(sums)
+    centers_live = 0.5 * (boxes_min + boxes_max)
+    scales_live = 1.2 * 0.5 * jnp.max(boxes_max - boxes_min, axis=-1)
+    return collision_sums_sampled(phi, centers_live, scales_live, verts)
 
 
 def collision_energy(verts: jnp.ndarray, faces: jnp.ndarray,

@@ -1,0 +1,104 @@
+"""Eval metrics: PCK golden vs the reference's calc_accuracy + OKS AP.
+
+Parity target: `alphapose_core/alphapose/utils/metrics.py` (PCK via
+heatmap argmax, `metrics.py:125-152`) and the COCO OKS/AP protocol its
+`evaluate_mAP` delegates to pycocotools for.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.detect.metrics import (
+    heatmap_pck, keypoint_map, keypoint_oks, max_preds,
+)
+
+
+def _gauss_heatmaps(coords, H, W, sigma=1.5):
+    """(N, J, 2) peak coords -> (N, J, H, W) gaussian heatmaps."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    out = np.zeros((coords.shape[0], coords.shape[1], H, W), np.float32)
+    for n in range(coords.shape[0]):
+        for j in range(coords.shape[1]):
+            x, y = coords[n, j]
+            out[n, j] = np.exp(-((xx - x) ** 2 + (yy - y) ** 2) /
+                               (2 * sigma ** 2))
+    return out
+
+
+class TestPCK:
+    def test_known_displacements(self, rng):
+        """Peaks displaced by < and > thr*norm score 1 resp. 0."""
+        H, W = 40, 30
+        gt = rng.uniform(8, 20, size=(4, 3, 2)).astype(np.float32)
+        # norm = (W, H)/10 = (3, 4); thr 0.5 -> normalized dist < 0.5
+        near = gt + np.asarray([1.0, 0.0])      # dist 1/3 < 0.5
+        far = gt + np.asarray([0.0, 8.0])       # dist 2.0 > 0.5
+        assert heatmap_pck(_gauss_heatmaps(near, H, W),
+                           _gauss_heatmaps(gt, H, W)) == 1.0
+        assert heatmap_pck(_gauss_heatmaps(far, H, W),
+                           _gauss_heatmaps(gt, H, W)) == 0.0
+
+    def test_golden_vs_reference(self, rng):
+        """Bit-for-bit against the reference's calc_accuracy."""
+        torch = pytest.importorskip("torch")
+        sys.path.insert(0, "/root/reference/alphapose_core")
+        try:
+            from alphapose.utils.metrics import calc_accuracy
+        except Exception as e:         # pragma: no cover
+            pytest.skip(f"reference metrics unavailable: {e}")
+
+        H, W = 16, 12
+        preds = rng.standard_normal((3, 5, H, W)).astype(np.float32)
+        labels = rng.standard_normal((3, 5, H, W)).astype(np.float32)
+        # Positive labels so some joints count as visible.
+        labels[0, :2] += 3.0
+
+        want = calc_accuracy(torch.from_numpy(preds),
+                             torch.from_numpy(labels))
+        got = heatmap_pck(preds, labels)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_max_preds_golden_vs_reference(self, rng):
+        sys.path.insert(0, "/root/reference/alphapose_core")
+        try:
+            from alphapose.utils.transforms import get_max_pred_batch
+        except Exception as e:         # pragma: no cover
+            pytest.skip(f"reference transforms unavailable: {e}")
+        hm = rng.standard_normal((2, 4, 9, 7)).astype(np.float32)
+        want_p, want_v = get_max_pred_batch(hm)
+        got_p, got_v = max_preds(hm)
+        np.testing.assert_array_equal(got_p, want_p)
+        np.testing.assert_array_equal(got_v, want_v)
+
+
+class TestOKS:
+    def test_perfect_prediction_is_one(self, rng):
+        gt = rng.uniform(0, 100, (17, 2)).astype(np.float32)
+        assert keypoint_oks(gt, gt, area=2500.0) == pytest.approx(1.0)
+
+    def test_decays_with_distance(self, rng):
+        gt = rng.uniform(0, 100, (17, 2)).astype(np.float32)
+        a = keypoint_oks(gt + 1.0, gt, area=2500.0)
+        b = keypoint_oks(gt + 5.0, gt, area=2500.0)
+        assert 0 < b < a < 1
+
+    def test_map_perfect_and_mismatched(self, rng):
+        gt = rng.uniform(20, 80, (2, 17, 2)).astype(np.float32)
+        gts = [{"keypoints": gt, "areas": np.asarray([2500.0, 2500.0])}]
+        perfect = [{"keypoints": gt.copy(),
+                    "scores": np.asarray([0.9, 0.8])}]
+        assert keypoint_map(perfect, gts) == pytest.approx(1.0)
+
+        junk = [{"keypoints": gt + 300.0,
+                 "scores": np.asarray([0.9, 0.8])}]
+        assert keypoint_map(junk, gts) == pytest.approx(0.0)
+
+    def test_map_half_detected(self, rng):
+        gt = rng.uniform(20, 80, (2, 17, 2)).astype(np.float32)
+        gts = [{"keypoints": gt, "areas": np.asarray([2500.0, 2500.0])}]
+        half = [{"keypoints": np.stack([gt[0], gt[1] + 500.0]),
+                 "scores": np.asarray([0.9, 0.8])}]
+        m = keypoint_map(half, gts)
+        assert 0.2 < m < 0.6       # one of two GT matched -> AP ~ 0.5

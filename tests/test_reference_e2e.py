@@ -23,9 +23,8 @@ import pytest
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
-@pytest.mark.skipif(not os.path.isdir("/root/reference/code"),
-                    reason="reference unavailable")
-def test_reference_vs_ours_end_to_end(tmp_path):
+def _run_parity(tmp_path, maxiters):
+    """Run reference + ours on identical assets; return both pkls."""
     work = str(tmp_path / "parity")
     os.makedirs(work)
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
@@ -35,10 +34,10 @@ def test_reference_vs_ours_end_to_end(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=240)
     assert r.returncode == 0, r.stderr[-2000:]
 
-    # Reference pipeline (reduced iteration budget for test runtime).
     r = subprocess.run(
-        [sys.executable, "tools/run_reference_cpu.py", work, "15"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=400)
+        [sys.executable, "tools/run_reference_cpu.py", work,
+         str(maxiters)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
 
     cfg = os.path.join(work, "ours.yaml")
@@ -58,14 +57,14 @@ shape_weights: [1.0e2, 5.0e1, 1.0e1, 0.5e1]
 coll_loss_weights: [0.0, 0.0, 1000.0, 4500.0]
 rho: 100
 optim_type: 'lbfgsls'
-maxiters: 15
+maxiters: {maxiters}
 save_meshes: false
 save_images: false
 """)
     r = subprocess.run(
         [sys.executable, "-m", "mvsmplfitting_tpu.cli.main",
          "--config", cfg],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=400)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
 
     ref = pickle.load(open(os.path.join(
@@ -73,14 +72,18 @@ save_images: false
         encoding="latin1")
     ours = pickle.load(open(os.path.join(
         work, "ours_out/results/0000/00001/000.pkl"), "rb"))
+    return ref, ours
 
+
+def _assert_parity(ref, ours, loss_tol, scale_tol, corr_min):
     ref_loss = float(ref["loss"])
     our_loss = float(ours["loss"])
-    assert abs(our_loss - ref_loss) / ref_loss < 0.10, (ref_loss,
-                                                       our_loss)
+    assert abs(our_loss - ref_loss) / ref_loss < loss_tol, (ref_loss,
+                                                           our_loss)
     ref_scale = float(np.asarray(ref["scale"]).ravel()[0])
     our_scale = float(np.asarray(ours["scale"]).ravel()[0])
-    assert abs(our_scale - ref_scale) / ref_scale < 0.10
+    assert abs(our_scale - ref_scale) / ref_scale < scale_tol, (
+        ref_scale, our_scale)
     # Same basin: translations agree to a fraction of body scale and
     # the latent poses correlate strongly.
     dt = np.linalg.norm(np.asarray(ref["transl"]).ravel() -
@@ -89,4 +92,27 @@ save_images: false
     pr = np.asarray(ref["pose_embedding"]).ravel()
     po = np.asarray(ours["pose_embedding"]).ravel()
     corr = float(np.corrcoef(pr, po)[0, 1])
-    assert corr > 0.75, corr
+    assert corr > corr_min, corr
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/code"),
+                    reason="reference unavailable")
+def test_reference_vs_ours_end_to_end(tmp_path):
+    ref, ours = _run_parity(tmp_path, maxiters=15)
+    _assert_parity(ref, ours, loss_tol=0.10, scale_tol=0.10,
+                   corr_min=0.75)
+
+
+@pytest.mark.skipif(os.environ.get("MVSF_FULL_BUDGET") != "1",
+                    reason="full-budget parity guard: opt in with "
+                           "MVSF_FULL_BUDGET=1 (runs the reference's "
+                           "~60s CPU fit + ours at maxiters=30)")
+@pytest.mark.skipif(not os.path.isdir("/root/reference/code"),
+                    reason="reference unavailable")
+def test_reference_vs_ours_full_budget(tmp_path):
+    """Regression guard for the headline README/PARITY claim:
+    full-budget (maxiters=30) losses within 1.5%, scale within 3.5%,
+    pose-embedding correlation > 0.9 (measured 0.85% / 2.6% / 0.94)."""
+    ref, ours = _run_parity(tmp_path, maxiters=30)
+    _assert_parity(ref, ours, loss_tol=0.015, scale_tol=0.035,
+                   corr_min=0.90)

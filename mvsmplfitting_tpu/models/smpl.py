@@ -191,11 +191,22 @@ def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     T = transform_mat(rot_mats, rel)  # (J, 4, 4)
     root = T[0].at[:3, :3].multiply(scale)
 
-    # Static-topology unroll: J-1 (4x4)@(4x4) matmuls; XLA fuses these.
-    chain = [root]
-    for i in range(1, len(parents)):
-        chain.append(chain[parents[i]] @ T[i])
-    transforms = jnp.stack(chain, axis=0)  # (J, 4, 4)
+    # Level-batched tree composition: joints grouped by depth, one
+    # batched (n,4,4)@(n,4,4) matmul per level.  Same multiplication
+    # order as the reference's sequential parent chain
+    # (`lbs.py:350-355`), but the op count drops from J-1 tiny matmuls
+    # to tree-depth (~8 for SMPL) batched ones — the 24-step chain is
+    # the latency-critical path of every Jacobian column.
+    J = len(parents)
+    depth = [0] * J
+    for i in range(1, J):
+        depth[i] = depth[parents[i]] + 1
+    transforms = jnp.zeros((J, 4, 4), T.dtype).at[0].set(root)
+    for lvl in range(1, max(depth) + 1):
+        idxs = np.asarray([i for i in range(1, J) if depth[i] == lvl])
+        pidx = np.asarray([parents[i] for i in idxs])
+        new_T = jnp.einsum("nab,nbc->nac", transforms[pidx], T[idxs])
+        transforms = transforms.at[idxs].set(new_T)
 
     posed_joints = transforms[:, :3, 3]
     # Relative-to-rest transforms for skinning: subtract the transform of

@@ -219,7 +219,10 @@ def main():
 
     # --- primary: REAL demo data through the data layer --------------
     sess, obs1, img_h = _real_problem()
-    fit_cfg = sess.fit_config.replace(lm=LMOptions(max_iters=40))
+    # Keep the session's production solver choices (schulz +
+    # speculative); only pin the iteration budget.
+    fit_cfg = sess.fit_config.replace(
+        lm=sess.fit_config.lm.replace(max_iters=40))
     one = _fit_fn(fit_cfg, sess.assets, sess.vposer, sess.cameras,
                   gmm=sess.gmm, img_height=img_h)
     obs = jax.tree.map(

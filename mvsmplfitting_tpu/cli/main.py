@@ -85,6 +85,76 @@ def _save_frame_outputs(cfg, sess, frame, result, result_root,
                           np.asarray(joints))
 
 
+def run_multi_person(cfg, sess, result_root, mesh_root,
+                     image_root) -> int:
+    """Fit up to `num_people` per frame (vmapped solo fits + joint SDF
+    refinement when interpenetration is on).  The reference has no
+    such path — its solver asserts batch 1 (`non_linear_solver.py:56`);
+    results land as <frame>/<p:03d>.pkl per person.
+
+    People are index-matched across views (the data layer preserves
+    each JSON's person order); cross-view identity association is the
+    keypoint producer's job, as in the reference's file contract."""
+    from ..data.dataset import frame_to_observations
+    from ..fitting.multi_person import fit_people
+
+    P = cfg.num_people
+    fit_jit = jax.jit(lambda obs, h: fit_people(
+        sess.fit_config, sess.assets, sess.cameras, obs,
+        vposer_w=sess.vposer, gmm=sess.gmm, img_height=h,
+        est_scale=not cfg.fix_scale))
+
+    n_frames = 0
+    for frame in sess.dataset:
+        obs_list = [frame_to_observations(frame, sess.joint_weights,
+                                          person=p) for p in range(P)]
+        obs_people = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+        # A person absent from a view contributes zero-confidence rows
+        # already (padded people); mask views accordingly.
+        vm = jnp.asarray(frame.person_mask.T) * \
+            jnp.asarray(frame.view_mask)[None, :]
+        obs_people = obs_people.replace(view_mask=vm)
+        live = frame.person_mask.max(axis=0)     # (P,) person present?
+
+        t0 = time.time()
+        results, coll_sums = fit_jit(obs_people,
+                                     float(frame.img_hw[0]))
+        jax.block_until_ready(results.loss)
+        losses = np.asarray(results.loss)
+        print(f"Processing: {frame.serial}/{frame.frame_name} — "
+              f"{int(live.sum())} people, losses "
+              f"{[round(float(l), 1) for l, m in zip(losses, live) if m]}"
+              f" coll {np.round(np.asarray(coll_sums), 3).tolist()} "
+              f"in {time.time() - t0:.2f}s")
+        for p in range(P):
+            if not live[p]:
+                continue
+            person = jax.tree.map(lambda a, p=p: a[p], results)
+            frame_dir = os.path.join(result_root, frame.serial,
+                                     frame.frame_name)
+            out = FitOutputs(
+                betas=np.asarray(person.params.betas),
+                global_orient=np.asarray(person.params.global_orient),
+                transl=np.asarray(person.params.transl),
+                scale=np.asarray(person.params.scale),
+                body_pose=np.asarray(person.body_pose),
+                pose_embedding=np.asarray(person.z),
+                loss=float(person.loss))
+            saved = save_result_pkl(
+                os.path.join(frame_dir, f"{p:03d}.pkl"), out)
+            if cfg.save_meshes:
+                final_params = person.params.replace(
+                    body_pose=jnp.asarray(saved["body_pose"][0]),
+                    global_orient=jnp.asarray(saved["pose"][0, :3]))
+                verts, _ = smpl_forward(sess.assets, final_params)
+                save_obj(os.path.join(mesh_root, frame.serial,
+                                      frame.frame_name, f"{p:03d}.obj"),
+                         np.asarray(verts),
+                         np.asarray(sess.assets.faces))
+        n_frames += 1
+    return n_frames
+
+
 def run_batched(cfg, sess, result_root, mesh_root, image_root) -> int:
     """Batched mode: fit `batch_frames` frames per device program
     (init + fit fused; see parallel/batched.py)."""
@@ -141,6 +211,15 @@ def main(argv=None) -> int:
               "(fits run, parameters are not human-shaped)")
 
     fixed_scale = cfg.scale if (cfg.fix_scale and cfg.scale) else 1.0
+
+    if cfg.num_people > 1:
+        start = time.time()
+        n_frames = run_multi_person(cfg, sess, result_root, mesh_root,
+                                    image_root)
+        elapsed = time.time() - start
+        print(f"Processed {n_frames} frame(s) in {elapsed:.2f}s "
+              f"({n_frames / max(elapsed, 1e-9):.3f} frames/s)")
+        return 0
 
     if cfg.batch_frames > 1 and not cfg.is_seq:
         start = time.time()

@@ -73,6 +73,11 @@ class Config:
     coll_grid_size: int = 128
     # None -> auto: Pallas voxelizer on TPU, jnp oracle elsewhere.
     use_pallas_sdf: Optional[bool] = None
+    # Multi-person: fit up to this many detected people per frame
+    # (vmapped solo fits + joint SDF refinement when interpenetration
+    # is on — `fitting/multi_person.py`; the reference's own path
+    # asserts batch 1, `non_linear_solver.py:56`).
+    num_people: int = 1
     # batching / parallelism
     batch_frames: int = 1             # frames fitted per device program
     mesh_shape: Optional[Tuple[int, int]] = None  # (frames, cameras) axes

@@ -185,10 +185,17 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
             return (xf, xs), loss
 
         carry = (xf0, xs0)
-        stage_losses = []
-        for w in stages:
-            carry, loss = stage_solve(carry, w)
-            stage_losses.append(loss)
+        if len({w.coll_on for w in stages}) == 1:
+            # All stages share the (static) collision gate: scan over
+            # the stacked weights so the LM body is traced ONCE instead
+            # of once per stage — measured 20.7 s -> single-stage-sized
+            # trace+compile on the 8-device CPU mesh.
+            table = jax.tree.map(lambda *xs_: jnp.stack(xs_), *stages)
+            carry, _ = jax.lax.scan(
+                lambda c, w: (stage_solve(c, w)[0], 0.0), carry, table)
+        else:
+            for w in stages:
+                carry, _ = stage_solve(carry, w)
         xf, xs = carry
 
         # Per-frame final losses for reporting.

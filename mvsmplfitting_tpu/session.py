@@ -90,7 +90,8 @@ def build_session(cfg: Config) -> Session:
             gmm = random_gmm()
 
     dataset = FittingDataset(cfg.data_folder, cfg.img_folder,
-                             cfg.keyp_folder, use_3d=cfg.use_3d)
+                             cfg.keyp_folder, use_3d=cfg.use_3d,
+                             max_people=cfg.num_people)
 
     num_joints = int(assets.joint_map.shape[0])
     joint_weights = J.default_joint_weights(num_joints, pose_format,
@@ -127,8 +128,13 @@ def build_session(cfg: Config) -> Session:
         pose_weights=tuple(cfg.body_pose_prior_weights),
         shape_weights=tuple(cfg.shape_weights),
         coll_weights=tuple(cfg.coll_loss_weights),
+        # Production fast path (measured on-chip, real demo data):
+        # Newton-Schulz normal equations + speculative single-eval
+        # iterations = 1.9x the LU/classic throughput at equal final
+        # energies (docs/BENCH_NOTES.md round 2).
         lm=LMOptions(max_iters=max(60, cfg.maxiters * 2),
-                     ftol=cfg.ftol, gtol=cfg.gtol),
+                     ftol=cfg.ftol, gtol=cfg.gtol,
+                     linsolve="schulz", speculative=True),
         lbfgs=LBFGSOptions(max_iters=cfg.maxiters * 4, lr=cfg.lr,
                            ftol=cfg.ftol, gtol=cfg.gtol),
         grad=GradientOptions(optim_type=solver if solver in

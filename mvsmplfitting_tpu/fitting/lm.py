@@ -79,6 +79,16 @@ def _solve_spd(A: jnp.ndarray, b: jnp.ndarray, method: str
     return jnp.linalg.solve(A, b)
 
 
+def _spd_inv(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a damped-SPD matrix via Cholesky (no LU pivoting —
+    XLA's `jnp.linalg.inv` lowers to a sequential pivoted LU chain)."""
+    n = A.shape[-1]
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.eye(n, dtype=A.dtype)
+    y = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
 class _LMState(NamedTuple):
     x: jnp.ndarray
     loss: jnp.ndarray

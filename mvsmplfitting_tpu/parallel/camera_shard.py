@@ -88,7 +88,10 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
 
         diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
         A = JtJ + lam * jnp.diag(diag) + 1e-12 * eye
-        dx = -jnp.linalg.solve(A, g) * mask
+        # Cholesky, not LU: XLA's LU lowering is a sequential latency
+        # chain (see lm._solve_spd; measured +37% on the solo fit).
+        from ..fitting.lm import _solve_spd
+        dx = -_solve_spd(A, g, "chol") * mask
 
         new_x = x + dx
         new_loss = loss_of(new_x)

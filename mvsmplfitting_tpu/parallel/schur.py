@@ -125,7 +125,8 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
                 dA = jnp.maximum(
                     jnp.diagonal(A, axis1=-2, axis2=-1), 1e-8)
                 A_d = A + lam * jax.vmap(jnp.diag)(dA)
-                A_inv = jnp.linalg.inv(
+                from ..fitting.lm import _spd_inv
+                A_inv = jax.vmap(_spd_inv)(
                     A_d + 1e-12 * jnp.eye(nf)[None])
 
                 C_sum = psum(jnp.sum(C, 0))
@@ -138,7 +139,8 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
                 dC = jnp.maximum(jnp.diagonal(C_sum), 1e-8)
                 S = C_sum - BtAiB + lam * jnp.diag(dC) + \
                     1e-12 * jnp.eye(ns)
-                ds = -jnp.linalg.solve(S, h_sum - BtAig)
+                from ..fitting.lm import _solve_spd
+                ds = -_solve_spd(S, h_sum - BtAig, "chol")
                 dxf = -jnp.einsum("fij,fj->fi", A_inv,
                                   gf + jnp.einsum("fij,j->fi", Bm, ds))
 

@@ -84,8 +84,11 @@ output_folder: "{work}/out"
 model_type: "smpl"
 use_vposer: true
 num_people: 2
-interpenetration: true
-coll_grid_size: 16
+# Interpenetration off here: with the truth bodies overlapping, the
+# 4500-weight collision term moves the optimum ~0.5-0.9 m from truth
+# by design, which is not a stable recovery assertion.  The
+# SDF-coupled joint refinement is covered by test_multi_person.py.
+interpenetration: false
 maxiters: 10
 save_meshes: false
 save_images: false
@@ -107,11 +110,12 @@ save_images: false
             res.append(pickle.load(f))
 
     # Both converged onto their own detections: x-order preserved and
-    # positions near truth.
+    # positions near truth (noise-free observations, no collision
+    # term -> tight recovery).
     x0 = float(res[0]["transl"][0, 0])
     x1 = float(res[1]["transl"][0, 0])
     assert x0 < x1, (x0, x1)
     for p, (true, _) in enumerate(truths):
         err = np.linalg.norm(np.asarray(res[p]["transl"][0]) -
                              np.asarray(true.transl))
-        assert err < 0.5, (p, err)
+        assert err < 0.15, (p, err)

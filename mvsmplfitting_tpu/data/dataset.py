@@ -75,12 +75,24 @@ class FrameData:
 
 def frame_to_observations(frame: FrameData, joint_weights: np.ndarray,
                           person: int = 0):
-    """FrameData -> the solver's Observations for one person."""
+    """FrameData -> the solver's Observations for one person.
+
+    When the annotation set is wider than the stored body keypoints
+    (smplx/coco25 maps 25 joints while the OpenPose files carry 17
+    body rows — the reference truncates at `data_parser.py:54` and its
+    own smplx branch then shape-errors), the missing rows are padded
+    with zero confidence so they drop out of the energy.
+    """
     import jax.numpy as jnp
 
     from ..fitting.energy import Observations
 
     kp = frame.keypoints[:, person]          # (V, K, 3)
+    K_target = int(np.asarray(joint_weights).shape[0])
+    if kp.shape[1] < K_target:
+        pad = np.zeros((kp.shape[0], K_target - kp.shape[1], 3),
+                       kp.dtype)
+        kp = np.concatenate([kp, pad], axis=1)
     gt3d = conf3d = None
     if frame.joints3d is not None:
         gt3d = jnp.asarray(frame.joints3d[:, :3])

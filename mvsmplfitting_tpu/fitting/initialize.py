@@ -27,6 +27,19 @@ from .energy import LATENT_DIM
 TORSO = jnp.asarray([5, 6, 11, 12])  # LShoulder RShoulder LHip RHip
 
 
+def torso_indices(model_type: str) -> jnp.ndarray:
+    """Shoulder+hip rows in the model's annotation order.
+
+    coco17 and lsp14 both carry shoulders at 5/6 and hips at 11/12
+    (the reference hardcodes [5, 6, 11, 12], `init_guess.py:89-92`);
+    the smplx path maps to OpenPose BODY_25 order where shoulders are
+    2/5 and hips 9/12 (the reference never exercises that path — its
+    smplx branch shape-errors before reaching the init)."""
+    if model_type == "smplx":
+        return jnp.asarray([2, 5, 9, 12])
+    return TORSO
+
+
 @struct.dataclass
 class InitGuess:
     params: SMPLParams
@@ -36,7 +49,8 @@ class InitGuess:
 
 def _single_view_depth(cam: Camera, rest: jnp.ndarray,
                        pixels: jnp.ndarray,
-                       view_mask: jnp.ndarray) -> jnp.ndarray:
+                       view_mask: jnp.ndarray,
+                       torso: jnp.ndarray = TORSO) -> jnp.ndarray:
     """Torso-height depth heuristic for one view (`init_guess.py:54-79`).
 
     Places the rest joints at depth f * (3D torso height / 2D torso
@@ -48,13 +62,13 @@ def _single_view_depth(cam: Camera, rest: jnp.ndarray,
     v = jnp.argmax(view_mask)                                # first live
     R = cam.rotation[v]
     t = cam.translation[v]
-    torso3d_w = rest[TORSO]                                  # (4, 3)
+    torso3d_w = rest[torso]                                  # (4, 3)
     torso3d_c = torso3d_w @ R.T + t
     d3 = jnp.stack([torso3d_c[0] - torso3d_c[2],
                     torso3d_c[1] - torso3d_c[3]])
     h3 = jnp.mean(jnp.linalg.norm(d3, axis=-1))
 
-    torso2d = pixels[v][TORSO]
+    torso2d = pixels[v][torso]
     # sic: the reference uses (t0 - t2) twice (`init_guess.py:66`).
     d2 = jnp.stack([torso2d[0] - torso2d[2], torso2d[0] - torso2d[2]])
     h2 = jnp.mean(jnp.linalg.norm(d2, axis=-1))
@@ -78,16 +92,17 @@ def init_guess(assets: SMPLAssets, cam: Camera, pixels: jnp.ndarray,
         triangulation when provided — `init_guess.py:85-86`).
     """
     rest = rest_joints(assets)                               # (K, 3)
+    torso = torso_indices(assets.model_type)
 
     n_views = jnp.sum(view_mask)
     tri = triangulate(cam, pixels, conf, view_mask)
-    single = _single_view_depth(cam, rest, pixels, view_mask)
+    single = _single_view_depth(cam, rest, pixels, view_mask, torso)
     joints3d = jnp.where(n_views > 1, tri, single)
     if gt3d is not None:
         joints3d = gt3d
 
     if use_torso:
-        src, dst = rest[TORSO], joints3d[TORSO]
+        src, dst = rest[torso], joints3d[torso]
     else:
         src, dst = rest, joints3d
     rot, trans, scale = umeyama(src, dst, est_scale)

@@ -157,7 +157,7 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
             from ..ops.alignment import umeyama
             from ..ops.rotations import matrix_to_axis_angle
             from ..models.smpl import SMPLParams, rest_joints
-            from ..fitting.initialize import TORSO
+            from ..fitting.initialize import torso_indices
 
             rest = rest_joints(assets)
             n_rays = o.conf + 1e-6
@@ -173,7 +173,8 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
             AtA, Atb = jax.lax.psum((AtA, Atb), CAMERAS_AXIS)
             joints3d = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
 
-            rot, trans, scale = umeyama(rest[TORSO], joints3d[TORSO],
+            torso = torso_indices(assets.model_type)
+            rot, trans, scale = umeyama(rest[torso], joints3d[torso],
                                         est_scale)
             params = SMPLParams(
                 betas=jnp.zeros((assets.num_betas,)),

@@ -23,6 +23,16 @@ COCO17_EDGES = (
     (14, 16),
 )
 
+# Halpe-26 skeleton (AlphaPose's default joint set — the body/foot rows
+# of the reference's `l_pair` table, `alphapose/utils/vis.py:94-109`).
+HALPE26_EDGES = (
+    (0, 1), (0, 2), (1, 3), (2, 4),                       # head
+    (5, 18), (6, 18), (5, 7), (7, 9), (6, 8), (8, 10),    # arms
+    (17, 18), (18, 19), (19, 11), (19, 12),               # spine/hips
+    (11, 13), (12, 14), (13, 15), (14, 16),               # legs
+    (20, 24), (21, 25), (23, 25), (22, 24), (15, 24), (16, 25),  # feet
+)
+
 
 def _project(rotation, translation, focal, center, points):
     cam = points @ rotation.T + translation
@@ -78,11 +88,17 @@ def render_mesh_overlay(img: np.ndarray, verts: np.ndarray,
 
 def draw_keypoints(img: np.ndarray, keypoints: np.ndarray,
                    conf_thresh: float = 0.2) -> np.ndarray:
-    """Draw a COCO17 skeleton (x, y, conf) onto the image in place."""
+    """Draw a skeleton (x, y, conf) onto the image in place.
+
+    The edge table follows the joint count: 26 -> Halpe-26 (AlphaPose's
+    native set), otherwise COCO17 (extra joints beyond either table
+    still get circles).
+    """
     import cv2
 
     kp = np.asarray(keypoints)
-    for a, b in COCO17_EDGES:
+    edges = HALPE26_EDGES if len(kp) == 26 else COCO17_EDGES
+    for a, b in edges:
         if a < len(kp) and b < len(kp) and \
                 kp[a, 2] > conf_thresh and kp[b, 2] > conf_thresh:
             cv2.line(img, tuple(np.round(kp[a, :2]).astype(int)),

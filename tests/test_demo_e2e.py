@@ -55,3 +55,30 @@ def test_cli_demo_fit(tmp_path):
 
     # Resolved config dumped.
     assert os.path.exists(os.path.join(out_dir, "conf.yaml"))
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO), reason="demo data missing")
+def test_cli_demo_fit_smplx(tmp_path):
+    """SMPL-X CLI path: coco25 annotation order with the demo's
+    17-body-joint files (rows 17-24 zero-confidence padded).  The
+    reference's own smplx branch shape-errors (17 GT vs 25 projected,
+    `fitting.py:311-316`); ours must converge."""
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mvsmplfitting_tpu.cli.main",
+         "--config", "cfg_files/fit_smplx_demo.yaml",
+         "--output_folder", out_dir,
+         "--no_save_images", "--no_save_meshes"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True, timeout=500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    pkl_path = os.path.join(out_dir, "results/0000/00001/000.pkl")
+    with open(pkl_path, "rb") as f:
+        result = pickle.load(f)
+    # Synthetic smplx model regression anchor (final ~16033, reproj
+    # ~89 px at round 2 solver defaults).
+    assert 10000 < result["loss"] < 22000, result["loss"]
+    assert "reproj" in proc.stdout

@@ -102,3 +102,57 @@ class TestOKS:
                  "scores": np.asarray([0.9, 0.8])}]
         m = keypoint_map(half, gts)
         assert 0.2 < m < 0.6       # one of two GT matched -> AP ~ 0.5
+
+
+class TestCocoIO:
+    """COCO file contracts + native mAP (the reference defers these to
+    pycocotools, `metrics.py:64-119`, unavailable here)."""
+
+    def _write_gt(self, path, gt, rng):
+        import json
+        anns = []
+        for m in range(gt.shape[0]):
+            kp = np.concatenate(
+                [gt[m], 2 * np.ones((gt.shape[1], 1), np.float32)],
+                axis=1)
+            anns.append({"image_id": 7, "id": m + 1, "category_id": 1,
+                         "keypoints": kp.reshape(-1).tolist(),
+                         "area": 2500.0})
+        with open(path, "w") as f:
+            json.dump({"annotations": anns}, f)
+
+    def test_round_trip_and_perfect_map(self, rng, tmp_path):
+        from mvsmplfitting_tpu.detect.coco_io import (
+            evaluate_coco_map, load_coco_annotations, load_coco_results,
+            save_coco_results,
+        )
+
+        gt = rng.uniform(20, 80, (2, 17, 2)).astype(np.float32)
+        ann = str(tmp_path / "gt.json")
+        self._write_gt(ann, gt, rng)
+
+        loaded = load_coco_annotations(ann)
+        assert set(loaded) == {7}
+        np.testing.assert_allclose(loaded[7]["keypoints"], gt)
+        assert loaded[7]["vis"].all()
+
+        res = str(tmp_path / "res.json")
+        save_coco_results(res, [7], [gt.copy()],
+                          [np.asarray([0.9, 0.8])])
+        back = load_coco_results(res)
+        np.testing.assert_allclose(back[7]["keypoints"], gt, atol=1e-3)
+
+        assert evaluate_coco_map(ann, res) == pytest.approx(1.0)
+        # Unmatched detections -> 0.
+        save_coco_results(res, [7], [gt + 500.0],
+                          [np.asarray([0.9, 0.8])])
+        assert evaluate_coco_map(ann, res) == pytest.approx(0.0)
+
+    def test_missing_image_counts_against_recall(self, rng, tmp_path):
+        from mvsmplfitting_tpu.detect.coco_io import evaluate_coco_map
+
+        gt = rng.uniform(20, 80, (1, 17, 2)).astype(np.float32)
+        ann = str(tmp_path / "gt.json")
+        self._write_gt(ann, gt, rng)
+        # Empty results dict: no detections anywhere.
+        assert evaluate_coco_map(ann, {}) == pytest.approx(0.0)

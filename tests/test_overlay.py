@@ -121,3 +121,19 @@ class TestKeypoints:
         # The invisible joint's location stays untouched (no circle,
         # and its incident edges (0,1)/(0,2) are skipped).
         assert out[10, 5].sum() == 0
+
+
+class TestHalpe26:
+    def test_halpe_edges_selected_by_joint_count(self):
+        from mvsmplfitting_tpu.viz.overlay import HALPE26_EDGES
+        assert max(max(e) for e in HALPE26_EDGES) == 25
+        img = _img()
+        kp = np.zeros((26, 3), np.float32)
+        kp[:, 2] = 1.0
+        # Place neck(18) and hip(19) on a vertical line; the halpe
+        # spine edge (18, 19) must paint between them (no such edge in
+        # the COCO17 table).
+        kp[18] = (32, 10, 1.0)
+        kp[19] = (32, 50, 1.0)
+        out = draw_keypoints(img.copy(), kp)
+        assert out[30, 32].sum() > 0     # mid-spine pixel painted

@@ -203,6 +203,61 @@ def sweep():
     print(json.dumps({"metric": "bench_sweep", "detail": out}))
 
 
+def detect_bench():
+    """Detect-stack throughput + MFU (run: `python bench.py --detect`).
+
+    Timing note: on the tunneled backend, `block_until_ready` on the
+    models' multi-output pytrees did NOT actually wait (it produced
+    60x-over-peak "MFU"); the honest pattern is reducing to a scalar
+    inside the jit and fetching it to host each rep.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mvsmplfitting_tpu.detect.fastpose import FastPose
+    from mvsmplfitting_tpu.detect.yolox import YOLOX
+
+    dev = jax.devices()[0]
+    peak = PEAK_FLOPS.get(getattr(dev, "device_kind", ""),
+                          {}).get("fp32")
+    out = {}
+
+    def one(name, model, x, reps=5):
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+        def run(p, xx):
+            o = model.apply(p, xx)
+            return jax.tree.reduce(
+                lambda a, b: a + jnp.sum(b.astype(jnp.float32)), o, 0.0)
+
+        f = jax.jit(run)
+        float(f(params, x))
+        try:
+            cost = f.lower(params, x).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(f(params, x))
+        dt = (time.perf_counter() - t0) / reps
+        out[name] = {
+            "img_per_s": round(x.shape[0] / dt, 1),
+            "tflop_per_s": round(flops / dt / 1e12, 2),
+            "mfu_fp32_pct": round(100 * flops / dt / peak, 1)
+            if (peak and flops) else None,
+        }
+
+    rng = np.random.default_rng(0)
+    one("yolox_x_800x1440_b4", YOLOX(), jnp.asarray(
+        rng.standard_normal((4, 800, 1440, 3)), jnp.float32))
+    one("fastpose_r50_256x192_b80", FastPose(), jnp.asarray(
+        rng.standard_normal((80, 256, 192, 3)), jnp.float32))
+    print(json.dumps({"metric": "detect_bench", "detail": out}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -280,5 +335,7 @@ def main():
 if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
+    elif "--detect" in sys.argv:
+        detect_bench()
     else:
         main()

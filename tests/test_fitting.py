@@ -154,6 +154,49 @@ class TestSolvers:
         np.testing.assert_allclose(np.asarray(x), [1.0, 0.0, 3.0],
                                    atol=1e-6)
 
+
+    @pytest.mark.parametrize("linsolve", ["lu", "chol", "schulz"])
+    @pytest.mark.parametrize("speculative", [False, True])
+    def test_lm_variants_on_rosenbrock(self, linsolve, speculative):
+        """Every (linsolve, speculative) combination reaches the same
+        minimum — the round-2 production path is schulz+speculative."""
+        from mvsmplfitting_tpu.fitting.lm import LMOptions
+
+        def res(x):
+            return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+        x, loss = lm_fit(res, jnp.asarray([-1.2, 1.0]), jnp.ones(2),
+                         LMOptions(max_iters=80, linsolve=linsolve,
+                                   speculative=speculative))
+        np.testing.assert_allclose(np.asarray(x), [1.0, 1.0], atol=1e-3)
+
+    def test_speculative_respects_mask(self):
+        from mvsmplfitting_tpu.fitting.lm import LMOptions
+
+        def res(x):
+            return x - jnp.asarray([1.0, 2.0, 3.0])
+
+        mask = jnp.asarray([1.0, 0.0, 1.0])
+        x, _ = lm_fit(res, jnp.zeros(3), mask,
+                      LMOptions(speculative=True))
+        np.testing.assert_allclose(np.asarray(x), [1.0, 0.0, 3.0],
+                                   atol=1e-5)
+
+    def test_solve_spd_methods_agree(self, rng):
+        from mvsmplfitting_tpu.fitting.lm import _solve_spd, _spd_inv
+
+        M = rng.standard_normal((30, 30)).astype(np.float32)
+        A = jnp.asarray(M @ M.T + 0.5 * np.eye(30, dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal(30).astype(np.float32))
+        ref = np.asarray(_solve_spd(A, b, "lu"))
+        for m in ("chol", "schulz"):
+            got = np.asarray(_solve_spd(A, b, m))
+            np.testing.assert_allclose(got, ref, atol=5e-3,
+                                       err_msg=m)
+        inv = np.asarray(_spd_inv(A))
+        np.testing.assert_allclose(inv @ np.asarray(A), np.eye(30),
+                                   atol=1e-3)
+
     def test_lbfgs_respects_mask(self):
         def fg(x):
             f = jnp.sum((x - jnp.asarray([1.0, 2.0, 3.0])) ** 2)

@@ -25,3 +25,6 @@ from .roi_align import roi_align, align_transform, clip_aspect_ratio
 from .deform_conv import deform_conv2d, dcn_offset_mask_split
 from .hybrik import Simple3DPoseSMPLCam, integral_uvd, uvd_to_xyz
 from .metrics import heatmap_pck, keypoint_map, keypoint_oks
+from .fastpose_duc import FastPoseDUC, FastPoseDUCDense
+from .coco_io import (evaluate_coco_map, load_coco_annotations,
+                      load_coco_results, save_coco_results)

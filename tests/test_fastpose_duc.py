@@ -1,0 +1,108 @@
+"""FastPose-DUC(-dense) zoo models.
+
+The reference classes (`fastpose_duc.py`, `fastpose_duc_dense.py`)
+download torchvision-pretrained backbones in __init__ and so cannot be
+instantiated offline; parity here is (a) a weight-copied torch check of
+the DUC stage itself (PixelShuffle + conv/BN/ReLU chain,
+`fastpose_duc.py:72-88`) and (b) structural checks of the full graphs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.detect.fastpose_duc import (
+    DUCStage, FastPoseDUC, FastPoseDUCDense,
+)
+
+
+class TestDUCStage:
+    def test_matches_torch_stage(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        C_in, C_out, num_conv = 32, 24, 3
+        x = rng.standard_normal((2, 8, 6, C_in)).astype(np.float32)
+
+        stage = DUCStage(C_out, num_conv)
+        params = stage.init(jax.random.PRNGKey(0),
+                            jnp.asarray(x))
+
+        # Torch mirror (`fastpose_duc.py:72-88`): PixelShuffle(2) then
+        # (num_conv-1) same-width conv+BN+ReLU, then conv+BN+ReLU to
+        # C_out.
+        mid = C_in // 4
+        layers = [tnn.PixelShuffle(2)]
+        for _ in range(num_conv - 1):
+            layers += [tnn.Conv2d(mid, mid, 3, padding=1, bias=False),
+                       tnn.BatchNorm2d(mid), tnn.ReLU()]
+        layers += [tnn.Conv2d(mid, C_out, 3, padding=1, bias=False),
+                   tnn.BatchNorm2d(C_out), tnn.ReLU()]
+        tstage = tnn.Sequential(*layers).eval()
+
+        # Copy flax weights -> torch (HWIO -> OIHW).
+        p = params["params"]
+        convs = [m for m in tstage if isinstance(m, tnn.Conv2d)]
+        bns = [m for m in tstage if isinstance(m, tnn.BatchNorm2d)]
+        names = [f"conv{i}" for i in range(num_conv - 1)] + ["conv_out"]
+        bn_names = [f"bn{i}" for i in range(num_conv - 1)] + ["bn_out"]
+        with torch.no_grad():
+            for conv, name in zip(convs, names):
+                conv.weight.copy_(torch.from_numpy(np.transpose(
+                    np.asarray(p[name]["kernel"]), (3, 2, 0, 1))))
+            for bn, name in zip(bns, bn_names):
+                bn.weight.copy_(torch.from_numpy(
+                    np.asarray(p[name]["scale"])))
+                bn.bias.copy_(torch.from_numpy(
+                    np.asarray(p[name]["bias"])))
+                st = params["batch_stats"][name]
+                bn.running_mean.copy_(torch.from_numpy(
+                    np.asarray(st["mean"])))
+                bn.running_var.copy_(torch.from_numpy(
+                    np.asarray(st["var"])))
+
+        got = np.asarray(stage.apply(params, jnp.asarray(x)))
+        with torch.no_grad():
+            want = tstage(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestFullModels:
+    def test_fastpose_duc_shapes(self, rng):
+        model = FastPoseDUC(num_joints=17)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)),
+                        jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        # ResNet /32 then 3x PixelShuffle(2) -> /4 heatmaps.
+        assert out.shape == (1, 16, 16, 17)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dense_concat_order(self, rng):
+        model = FastPoseDUCDense(num_joints=5, num_joints_dense=9)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)),
+                        jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (1, 16, 16, 9)
+        # The two chains are independently weighted: zeroing the dense
+        # head's kernel must zero ONLY channels 5:9.
+        import flax
+        p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") \
+            else dict(params)
+        p["params"] = dict(p["params"])
+        p["params"]["conv_out_dense"] = jax.tree.map(
+            jnp.zeros_like, p["params"]["conv_out_dense"])
+        out2 = model.apply(p, x)
+        assert np.allclose(np.asarray(out2)[..., 5:], 0.0)
+        np.testing.assert_allclose(np.asarray(out2)[..., :5],
+                                   np.asarray(out)[..., :5])
+
+    def test_se_backbone_variant(self, rng):
+        model = FastPoseDUC(num_joints=4, se=True)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)),
+                        jnp.float32)
+        out = model.apply(model.init(jax.random.PRNGKey(1), x), x)
+        assert out.shape == (1, 16, 16, 4)

@@ -13,7 +13,8 @@ import pytest
 
 from mvsmplfitting_tpu.ops.sdf import (
     collision_energy, grid_sample_trilinear, point_triangle_dist_sq,
-    ray_crossings, sdf_grid, sdf_grid_pallas, voxel_centers,
+    ray_crossings, sdf_grid, sdf_grid_pallas, sdf_grid_pallas_fast,
+    voxel_centers,
 )
 
 
@@ -131,6 +132,21 @@ class TestSdfGrid:
             jnp.asarray(verts), jnp.asarray(faces), G, interpret=True,
             _max_lanes=64))       # 256 voxels/slab -> 4 lane tiles
         np.testing.assert_allclose(phi_pl, phi_ref, atol=1e-5)
+
+
+
+    def test_two_phase_fast_matches_jnp(self):
+        """The crossings-then-gated-distance kernel is exact: dead
+        tiles never contribute (phi = 0 outside), live tiles run the
+        identical distance math."""
+        verts, faces = icosphere(radius=0.55, n=10)
+        G = 16
+        phi_ref = np.asarray(sdf_grid(jnp.asarray(verts),
+                                      jnp.asarray(faces), G))
+        phi_fast = np.asarray(sdf_grid_pallas_fast(
+            jnp.asarray(verts), jnp.asarray(faces), G, interpret=True,
+            _max_lanes=64))
+        np.testing.assert_allclose(phi_fast, phi_ref, atol=1e-5)
 
 
 class TestGridSample:

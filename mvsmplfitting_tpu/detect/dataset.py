@@ -1,0 +1,122 @@
+"""COCO-style pose evaluation dataset (batched, TPU-shaped).
+
+The reference ships 15 torch `data.Dataset` classes
+(`alphapose_core/alphapose/datasets/`, e.g. `Mscoco_det` in
+`coco_det.py:20-100`) that crop person boxes with `SimpleTransform`
+and feed the pose nets for COCO evaluation.  This is the TPU-native
+equivalent of the eval path: one class that walks a COCO
+`person_keypoints` annotation json (or a detection-results json),
+crops every person box with the same affine transform the predictor
+uses (`preprocess.crop_affine`), and yields FIXED-SIZE padded batches
+— static shapes with validity masks, ready to jit/vmap — plus the
+bookkeeping (image_id, inverse-transform centers/scales) needed to
+write COCO results and score OKS mAP with `coco_io`/`metrics`.
+
+Training-time augmentation (the reference's mosaic/flip/rotate
+machinery) is out of scope; this is the inference/eval surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class PoseEvalBatch(NamedTuple):
+    crops: np.ndarray        # (B, H, W, 3) float32, affine-cropped
+    centers: np.ndarray      # (B, 2) crop centers (image coords)
+    scales: np.ndarray       # (B, 2) crop scales
+    image_ids: np.ndarray    # (B,) int
+    scores: np.ndarray       # (B,) detection/annotation score
+    valid: np.ndarray        # (B,) 1.0 for real rows, 0.0 padding
+
+
+class CocoPoseEvalDataset:
+    """Iterate padded crop batches from a COCO annotation/results json.
+
+    Args:
+      ann_or_det_file: COCO GT (`annotations` with bbox) or a
+        detection-results list (`[{image_id, bbox, score}]`).
+      img_root: directory with `<file_name>` or `<image_id:012d>.jpg`.
+      input_size: crop (H, W) — the pose nets' input.
+      batch_size: fixed batch; the tail is padded (valid mask 0).
+    """
+
+    def __init__(self, ann_or_det_file: str, img_root: str,
+                 input_size: Tuple[int, int] = (256, 192),
+                 batch_size: int = 32,
+                 min_score: float = 0.0):
+        self.img_root = img_root
+        self.input_size = input_size
+        self.batch_size = batch_size
+
+        with open(ann_or_det_file) as f:
+            data = json.load(f)
+        self._file_names = {}
+        if isinstance(data, dict):
+            anns = data.get("annotations", [])
+            for im in data.get("images", []):
+                self._file_names[int(im["id"])] = im.get("file_name")
+        else:
+            anns = data
+        self.entries: List[dict] = []
+        for a in anns:
+            if "bbox" not in a:
+                continue
+            score = float(a.get("score", 1.0))
+            if score < min_score:
+                continue
+            self.entries.append({
+                "image_id": int(a["image_id"]),
+                "bbox": [float(v) for v in a["bbox"]],   # xywh
+                "score": score,
+            })
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _img_path(self, image_id: int) -> str:
+        name = self._file_names.get(image_id)
+        if name is None:
+            name = f"{image_id:012d}.jpg"
+        return os.path.join(self.img_root, name)
+
+    def __iter__(self) -> Iterator[PoseEvalBatch]:
+        import cv2
+
+        from .preprocess import bbox_to_center_scale, crop_affine
+
+        H, W = self.input_size
+        cache_path, cache_img = None, None
+        for start in range(0, len(self.entries), self.batch_size):
+            chunk = self.entries[start:start + self.batch_size]
+            B = self.batch_size
+            crops = np.zeros((B, H, W, 3), np.float32)
+            centers = np.zeros((B, 2), np.float32)
+            scales = np.zeros((B, 2), np.float32)
+            ids = np.zeros((B,), np.int64)
+            scores = np.zeros((B,), np.float32)
+            valid = np.zeros((B,), np.float32)
+            for i, e in enumerate(chunk):
+                path = self._img_path(e["image_id"])
+                if path != cache_path:
+                    cache_img = cv2.imread(path)
+                    cache_path = path
+                if cache_img is None:
+                    continue
+                x, y, w, h = e["bbox"]
+                box = np.asarray([[x, y, x + w, y + h]], np.float32)
+                c, s = bbox_to_center_scale(box, W / H)
+                import jax.numpy as jnp
+                img = jnp.asarray(
+                    cache_img[..., ::-1].astype(np.float32) / 255.0)
+                crops[i] = np.asarray(crop_affine(img, c, s, (H, W))[0])
+                centers[i], scales[i] = c[0], s[0]
+                ids[i] = e["image_id"]
+                scores[i] = e["score"]
+                valid[i] = 1.0
+            yield PoseEvalBatch(crops, centers, scales, ids, scores,
+                                valid)

@@ -16,6 +16,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def batch_norm(mod: nn.Module, name: str, momentum: float = 0.9):
+    """BatchNorm that trains iff the caller made `batch_stats` mutable.
+
+    Inference (every converted-checkpoint path) applies variables
+    immutably and gets running statistics, exactly as before.  The
+    trainer (`detect/train.py`) applies with `mutable=['batch_stats']`
+    and gets batch statistics + running-average updates with torch's
+    BatchNorm2d semantics (momentum 0.1 torch == 0.9 flax, eps 1e-5).
+    """
+    train = mod.is_mutable_collection("batch_stats")
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=1e-5, name=name)
+
+
 class ConvBnAct(nn.Module):
     """Conv -> BN (inference) -> activation."""
 
@@ -35,8 +49,7 @@ class ConvBnAct(nn.Module):
                     feature_group_count=self.groups,
                     use_bias=self.use_bias, name="conv")(x)
         # torch nn.BatchNorm2d default eps (both reference nets).
-        x = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                         epsilon=1e-5, name="bn")(x)
+        x = batch_norm(self, name="bn")(x)
         if self.act == "silu":
             x = nn.silu(x)
         elif self.act == "relu":
@@ -215,25 +228,21 @@ class ResBottleneck(nn.Module):
             out = DeformConvBlock(self.planes, self.stride,
                                   self.deformable_groups,
                                   self.dcn_modulated, name="conv2")(out)
-            out = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                               name="bn2")(out)
+            out = batch_norm(self, name="bn2")(out)
             out = nn.relu(out)
         else:
             out = ConvBnAct(self.planes, 3, self.stride, act="relu",
                             name="conv2")(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                           name="bn3")(out)
+        out = batch_norm(self, name="bn3")(out)
         if self.se:
             out = SELayer(self.planes * 4, name="se")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=self.stride, use_bias=False,
                                name="down_conv")(x)
-            identity = nn.BatchNorm(use_running_average=True,
-                                    epsilon=1e-5,
-                                    name="down_bn")(identity)
+            identity = batch_norm(self, name="down_bn")(identity)
         return nn.relu(out + identity)
 
 

@@ -26,7 +26,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import pixel_shuffle
+from .blocks import batch_norm, pixel_shuffle
 from .fastpose import SEResnet50
 from .simplepose import ResNet50
 
@@ -44,13 +44,11 @@ class DUCStage(nn.Module):
         for i in range(self.num_conv - 1):
             x = nn.Conv(mid, (3, 3), use_bias=False,
                         name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                             name=f"bn{i}")(x)
+            x = batch_norm(self, name=f"bn{i}")(x)
             x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), use_bias=False,
                     name="conv_out")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                         name="bn_out")(x)
+        x = batch_norm(self, name="bn_out")(x)
         return nn.relu(x)
 
 

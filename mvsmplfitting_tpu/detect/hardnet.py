@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import batch_norm
+
 
 def hard_link(layer: int, base_ch: int, growth_rate: int,
               grmul: float) -> Tuple[int, int, List[int]]:
@@ -51,8 +53,7 @@ class ConvLayer(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride, padding=self.kernel // 2,
                     use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                         name="norm")(x)
+        x = batch_norm(self, name="norm")(x)
         return nn.relu(x)
 
 

@@ -17,7 +17,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvBnAct, ResBottleneck
+from .blocks import ConvBnAct, ResBottleneck, batch_norm
 
 
 class BasicBlock(nn.Module):
@@ -32,15 +32,12 @@ class BasicBlock(nn.Module):
                         name="conv1")(x)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                           name="bn2")(out)
+        out = batch_norm(self, name="bn2")(out)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1),
                                strides=self.stride, use_bias=False,
                                name="down_conv")(x)
-            identity = nn.BatchNorm(use_running_average=True,
-                                    epsilon=1e-5,
-                                    name="down_bn")(identity)
+            identity = batch_norm(self, name="down_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -78,9 +75,7 @@ class HRModule(nn.Module):
                     y = nn.Conv(self.channels[i], (1, 1),
                                 use_bias=False,
                                 name=f"fuse{i}_{j}_conv")(y)
-                    y = nn.BatchNorm(use_running_average=True,
-                                     epsilon=1e-5,
-                                     name=f"fuse{i}_{j}_bn")(y)
+                    y = batch_norm(self, name=f"fuse{i}_{j}_bn")(y)
                     y = _upsample(y, 2 ** (j - i))
                 elif j < i:     # higher res -> down: strided 3x3 chain
                     for k in range(i - j):
@@ -90,9 +85,7 @@ class HRModule(nn.Module):
                         y = nn.Conv(ch, (3, 3), strides=2, padding=1,
                                     use_bias=False,
                                     name=f"fuse{i}_{j}_d{k}_conv")(y)
-                        y = nn.BatchNorm(use_running_average=True,
-                                         epsilon=1e-5,
-                                         name=f"fuse{i}_{j}_d{k}_bn")(y)
+                        y = batch_norm(self, name=f"fuse{i}_{j}_d{k}_bn")(y)
                         if not last:
                             y = nn.relu(y)
                 acc = y if acc is None else acc + y

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvBnAct, ResBottleneck
+from .blocks import ConvBnAct, ResBottleneck, batch_norm
 from .simplepose import ResNet50
 
 
@@ -61,8 +61,7 @@ class Simple3DPoseSMPLCam(nn.Module):
             y = nn.ConvTranspose(f, (4, 4), strides=(2, 2),
                                  padding="SAME", use_bias=False,
                                  name=f"deconv{i + 1}")(y)
-            y = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                             name=f"bn{i + 1}")(y)
+            y = batch_norm(self, name=f"bn{i + 1}")(y)
             y = nn.relu(y)
         y = nn.Conv(self.num_joints * self.depth_dim, (1, 1),
                     use_bias=True, name="final")(y)  # (N, H, W, J*D)

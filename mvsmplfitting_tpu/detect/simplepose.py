@@ -14,7 +14,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvBnAct, ResBottleneck
+from .blocks import ConvBnAct, ResBottleneck, batch_norm
 
 
 class ResNet50(nn.Module):
@@ -50,8 +50,7 @@ class SimplePose(nn.Module):
             x = nn.ConvTranspose(f, (4, 4), strides=(2, 2),
                                  padding="SAME", use_bias=False,
                                  name=f"deconv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                             name=f"bn{i + 1}")(x)
+            x = batch_norm(self, name=f"bn{i + 1}")(x)
             x = nn.relu(x)
         return nn.Conv(self.num_joints, (1, 1), use_bias=True,
                        name="final")(x)

@@ -1,0 +1,317 @@
+"""Training infrastructure for the detection stack (TPU-native).
+
+Rebuilds the reference's training scaffolding the XLA way:
+
+- EMA of all float model state — ``yolox/utils/ema.py:29-69``
+  (``ModelEMA``: ramped decay ``d = decay * (1 - exp(-updates/2000))``
+  over parameters AND buffers), here one pure pytree op.
+- LR schedules — ``yolox/utils/lr_scheduler.py:97-150`` (``cos``,
+  ``warmcos``, ``yoloxwarmcos`` with quadratic warmup + no-aug floor)
+  plus AlphaPose's epoch-milestone step decay (``LR_FACTOR``/
+  ``LR_STEP`` in `configs/halpe_26/resnet/256x192_res50_lr1e-3_1x.yaml`),
+  all as jit-friendly pure functions of the iteration.
+- Optimizer factory — YOLOX's SGD(momentum 0.9, nesterov) with weight
+  decay on matrix/conv weights only (BN scale + biases excluded, the
+  torch param-group split), AlphaPose's adam/rmsprop, via optax.
+- Heatmap targets + masked MSE criterion — AlphaPose's
+  ``SimpleTransform._target_generator``
+  (`alphapose/utils/presets/simple_transform.py:126-164`: sigma-3
+  window, truncating ``int(x + 0.5)`` center rounding, weight zeroed
+  when the window misses the map) vectorized over joints, and the
+  ``MSELoss`` criterion from the train configs applied through the
+  target-weight mask.
+- Data parallelism: train steps are pure jitted functions; sharding the
+  batch axis over a `jax.sharding.Mesh` makes XLA insert the gradient
+  all-reduce, and BatchNorm batch statistics are computed over the
+  GLOBAL batch (the program is semantically global under SPMD) — the
+  built-in equivalent of ``yolox/utils/allreduce_norm.py:59-103`` and
+  torch's DDP hooks, with nothing to call.
+- Checkpointing — flat .npz pytree snapshots
+  (``yolox/utils/checkpoint.py`` save/resume surface).
+
+BatchNorm train/eval switching rides the `batch_stats` mutability flag
+(see ``detect/blocks.py:batch_norm``): the same converted-checkpoint
+models train without any API change.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .yolox_loss import yolox_losses
+
+
+# ---------------------------------------------------------------------------
+# EMA (`yolox/utils/ema.py:29-69`)
+
+def ema_decay(updates, base_decay: float = 0.9999):
+    """Ramped decay ``d = decay * (1 - exp(-updates / 2000))``."""
+    return base_decay * (1.0 - jnp.exp(-updates / 2000.0))
+
+
+def ema_update(ema_tree, new_tree, updates, base_decay: float = 0.9999):
+    """One EMA step over every float leaf (params and batch stats)."""
+    d = ema_decay(updates, base_decay)
+
+    def upd(e, v):
+        if jnp.issubdtype(jnp.asarray(e).dtype, jnp.floating):
+            return d * e + (1.0 - d) * v
+        return e   # non-float state is never EMA'd (`ema.py:66`)
+    return jax.tree_util.tree_map(upd, ema_tree, new_tree)
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (`yolox/utils/lr_scheduler.py:97-150`)
+
+def cos_lr(lr: float, total_iters: int, iters):
+    return lr * 0.5 * (1.0 + jnp.cos(math.pi * iters / total_iters))
+
+
+def warm_cos_lr(lr: float, total_iters: int, warmup_total_iters: int,
+                warmup_lr_start: float, iters):
+    warm = ((lr - warmup_lr_start) * iters / float(warmup_total_iters)
+            + warmup_lr_start)
+    cos = lr * 0.5 * (1.0 + jnp.cos(
+        math.pi * (iters - warmup_total_iters)
+        / (total_iters - warmup_total_iters)))
+    return jnp.where(iters <= warmup_total_iters, warm, cos)
+
+
+def yolox_warm_cos_lr(lr: float, min_lr_ratio: float, total_iters: int,
+                      warmup_total_iters: int, warmup_lr_start: float,
+                      no_aug_iter: int, iters):
+    """Quadratic warmup -> cosine -> flat ``min_lr`` tail."""
+    min_lr = lr * min_lr_ratio
+    warm = ((lr - warmup_lr_start)
+            * (iters / float(warmup_total_iters)) ** 2 + warmup_lr_start)
+    cos = min_lr + 0.5 * (lr - min_lr) * (1.0 + jnp.cos(
+        math.pi * (iters - warmup_total_iters)
+        / (total_iters - warmup_total_iters - no_aug_iter)))
+    out = jnp.where(iters <= warmup_total_iters, warm, cos)
+    return jnp.where(iters >= total_iters - no_aug_iter, min_lr, out)
+
+
+def multistep_lr(lr: float, milestones: Sequence[int], factor: float,
+                 iters):
+    """AlphaPose epoch-step decay: ``lr * factor**(#milestones passed)``."""
+    ms = jnp.asarray(milestones)
+    n = jnp.sum(iters >= ms)
+    return lr * factor ** n
+
+
+def lr_schedule(name: str, lr: float, iters_per_epoch: int,
+                total_epochs: int, *, warmup_epochs: int = 5,
+                warmup_lr_start: Optional[float] = None,
+                no_aug_epochs: int = 15, min_lr_ratio: float = 0.2,
+                milestones: Sequence[int] = (50, 70),
+                factor: float = 0.1) -> Callable[[Any], Any]:
+    """Schedule factory mirroring ``LRScheduler._get_lr_func``
+    (`lr_scheduler.py:36-95`); returns ``iters -> lr`` for optax."""
+    total = iters_per_epoch * total_epochs
+    if name == "cos":
+        return lambda it: cos_lr(lr, total, it)
+    if name == "warmcos":
+        start = 1e-6 if warmup_lr_start is None else warmup_lr_start
+        return lambda it: warm_cos_lr(
+            lr, total, iters_per_epoch * warmup_epochs, start, it)
+    if name == "yoloxwarmcos":
+        start = 0.0 if warmup_lr_start is None else warmup_lr_start
+        return lambda it: yolox_warm_cos_lr(
+            lr, min_lr_ratio, total, iters_per_epoch * warmup_epochs,
+            start, iters_per_epoch * no_aug_epochs, it)
+    if name == "multistep":
+        ms = [m * iters_per_epoch for m in milestones]
+        return lambda it: multistep_lr(lr, ms, factor, it)
+    raise ValueError(f"unknown lr schedule {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Optimizer factory
+
+def _decay_mask(params):
+    """YOLOX applies weight decay only to conv/linear weights — BN
+    scale/bias and conv biases are exempt (the torch ``pg0/pg1/pg2``
+    param-group split in yolox's exp code).  ndim >= 2 is exactly that
+    split for flax params."""
+    return jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def make_optimizer(name: str, learning_rate, params=None, *,
+                   momentum: float = 0.9, weight_decay: float = 5e-4,
+                   nesterov: bool = True) -> optax.GradientTransformation:
+    """'sgd' (YOLOX training default), 'adam' (AlphaPose default,
+    `TRAIN.OPTIMIZER` in its configs), or 'rmsprop'."""
+    if name == "sgd":
+        tx = optax.sgd(learning_rate, momentum=momentum,
+                       nesterov=nesterov)
+        if weight_decay:
+            tx = optax.chain(
+                optax.masked(optax.add_decayed_weights(weight_decay),
+                             _decay_mask),
+                tx)
+        return tx
+    if name == "adam":
+        return optax.adam(learning_rate)
+    if name == "rmsprop":
+        return optax.rmsprop(learning_rate)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Heatmap targets + criterion (AlphaPose)
+
+def heatmap_targets(joints_xy: jnp.ndarray, joints_vis: jnp.ndarray,
+                    heatmap_hw: Tuple[int, int],
+                    input_hw: Tuple[int, int], sigma: float = 2.0):
+    """Gaussian heatmap targets — vectorized ``_target_generator``
+    (`simple_transform.py:126-164`).
+
+    joints_xy: (J, 2) pixel coords in the INPUT crop; joints_vis: (J,).
+    Returns target (J, H, W) and target_weight (J, 1), with the
+    reference's truncating ``int(x/stride + 0.5)`` center rounding and
+    its fully-out-of-window weight-zero rule.
+    """
+    H, W = heatmap_hw
+    stride_x = input_hw[1] / W
+    stride_y = input_hw[0] / H
+    tmp = int(sigma * 3)
+
+    # python int() truncates toward zero — jnp.trunc matches.
+    mu_x = jnp.trunc(joints_xy[:, 0] / stride_x + 0.5)
+    mu_y = jnp.trunc(joints_xy[:, 1] / stride_y + 0.5)
+    ul_x, ul_y = mu_x - tmp, mu_y - tmp
+    br_x, br_y = mu_x + tmp + 1, mu_y + tmp + 1
+    oob = (ul_x >= W) | (ul_y >= H) | (br_x < 0) | (br_y < 0)
+    w = jnp.where(oob, 0.0, joints_vis)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx = jnp.exp(-((xs[None, :] - mu_x[:, None]) ** 2)
+                 / (2.0 * sigma ** 2))            # (J, W)
+    gy = jnp.exp(-((ys[None, :] - mu_y[:, None]) ** 2)
+                 / (2.0 * sigma ** 2))            # (J, H)
+    in_x = (xs[None, :] >= ul_x[:, None]) & (xs[None, :] < br_x[:, None])
+    in_y = (ys[None, :] >= ul_y[:, None]) & (ys[None, :] < br_y[:, None])
+    g = (gy * in_y)[:, :, None] * (gx * in_x)[:, None, :]
+    target = jnp.where((w > 0.5)[:, None, None], g, 0.0)
+    return target, w[:, None]
+
+
+def pose_heatmap_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                      target_weight: jnp.ndarray) -> jnp.ndarray:
+    """``0.5 * MSELoss(pred * mask, target * mask)`` — the masked MSE
+    criterion the AlphaPose train configs select (``LOSS.TYPE:
+    'MSELoss'``), mean over all elements.
+
+    pred/target: (N, H, W, J) NHWC heatmaps; target_weight: (N, J).
+    """
+    m = target_weight[:, None, None, :]
+    return 0.5 * jnp.mean((pred * m - target * m) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Train state + steps
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    ema: Any                      # {'params': ..., 'batch_stats': ...}
+
+
+def init_train_state(variables: Dict[str, Any],
+                     tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params, batch_stats=batch_stats,
+        opt_state=tx.init(params), step=jnp.zeros((), jnp.int32),
+        ema={"params": params, "batch_stats": batch_stats})
+
+
+def make_train_step(apply_fn: Callable, loss_fn: Callable,
+                    tx: optax.GradientTransformation,
+                    ema_base_decay: float = 0.9999) -> Callable:
+    """Generic jitted train step.
+
+    ``apply_fn(variables, batch, mutable)`` -> (outputs, mutated);
+    ``loss_fn(outputs, batch)`` -> scalar (or (scalar, aux dict)).
+    Shard the batch over a mesh axis and XLA data-parallelizes the
+    whole step, gradient all-reduce included.
+    """
+    def step(state: TrainState, batch):
+        def lfn(params):
+            out, mut = apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, ["batch_stats"])
+            res = loss_fn(out, batch)
+            loss, aux = res if isinstance(res, tuple) else (res, {})
+            return loss, (mut.get("batch_stats", {}), aux)
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            lfn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        n = state.step + 1
+        ema = ema_update(state.ema,
+                         {"params": params, "batch_stats": new_bs},
+                         n.astype(jnp.float32), ema_base_decay)
+        return TrainState(params, new_bs, opt_state, n, ema), loss, aux
+    return jax.jit(step)
+
+
+def make_pose_train_step(model, tx, **kw) -> Callable:
+    """Heatmap-MSE train step for any pose net in the zoo (batch:
+    ``{'image': (N,h,w,3), 'target': (N,H,W,J), 'target_weight':
+    (N,J)}``)."""
+    def apply_fn(variables, batch, mutable):
+        return model.apply(variables, batch["image"], mutable=mutable)
+
+    def loss_fn(out, batch):
+        return pose_heatmap_loss(out, batch["target"],
+                                 batch["target_weight"])
+    return make_train_step(apply_fn, loss_fn, tx, **kw)
+
+
+def make_yolox_train_step(model, tx, input_hw, use_l1: bool = False,
+                          **kw) -> Callable:
+    """SimOTA train step (batch: ``{'image': (N,h,w,3), 'labels':
+    (N,MAXG,5)}``).  ``model`` must be built with
+    ``train_outputs=True``."""
+    def apply_fn(variables, batch, mutable):
+        return model.apply(variables, batch["image"], mutable=mutable)
+
+    def loss_fn(out, batch):
+        decoded, origin_reg = out
+        losses = yolox_losses(decoded, batch["labels"], input_hw,
+                              origin_reg=origin_reg, use_l1=use_l1)
+        return losses["total"], losses
+    return make_train_step(apply_fn, loss_fn, tx, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (`yolox/utils/checkpoint.py` surface)
+
+def save_checkpoint(path: str, tree) -> None:
+    """Flat .npz snapshot of any pytree (params/EMA/opt state)."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    np.savez(path, **out)
+
+
+def load_checkpoint(path: str, template):
+    """Restore into the structure of ``template``."""
+    data = np.load(path, allow_pickle=False)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, tmpl in flat:
+        arr = data[jax.tree_util.keystr(kp)]
+        leaves.append(jnp.asarray(arr, dtype=jnp.asarray(tmpl).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

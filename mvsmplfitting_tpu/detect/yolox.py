@@ -99,6 +99,7 @@ class YOLOXHead(nn.Module):
     width_mul: float = 1.25
     strides: Tuple[int, ...] = (8, 16, 32)
     depthwise: bool = False
+    apply_sigmoid: bool = True   # False -> raw obj/cls logits (training)
 
     @nn.compact
     def __call__(self, feats) -> jnp.ndarray:
@@ -118,28 +119,39 @@ class YOLOXHead(nn.Module):
                           name=f"reg_pred{i}")(r)
             obj = nn.Conv(1, (1, 1), use_bias=True,
                           name=f"obj_pred{i}")(r)
-            out = jnp.concatenate(
-                [reg, jax.nn.sigmoid(obj), jax.nn.sigmoid(cls)],
-                axis=-1)
+            if self.apply_sigmoid:
+                obj, cls = jax.nn.sigmoid(obj), jax.nn.sigmoid(cls)
+            out = jnp.concatenate([reg, obj, cls], axis=-1)
             outputs.append(out.reshape(out.shape[0], -1, out.shape[-1]))
         return jnp.concatenate(outputs, axis=1)
 
 
 class YOLOX(nn.Module):
-    """Full detector; `__call__` returns decoded (N, A, 5+C) boxes."""
+    """Full detector; `__call__` returns decoded (N, A, 5+C) boxes.
+
+    With `train_outputs=True` (same params), obj/cls stay LOGITS and the
+    call returns `(decoded, raw_reg)` — the pair `yolox_loss.yolox_losses`
+    consumes, mirroring the torch head's training branch
+    (`yolo_head.py:145-219`: decoded xywh + logits + origin_preds).
+    """
 
     num_classes: int = 1
     depth_mul: float = 1.33
     width_mul: float = 1.25
     input_hw: Tuple[int, int] = (800, 1440)
+    train_outputs: bool = False
 
     @nn.compact
     def __call__(self, x):
         feats = YOLOPAFPN(self.depth_mul, self.width_mul,
                           name="fpn")(x)
         raw = YOLOXHead(self.num_classes, self.width_mul,
+                        apply_sigmoid=not self.train_outputs,
                         name="head")(feats)
-        return decode_outputs(raw, self.input_hw)
+        decoded = decode_outputs(raw, self.input_hw)
+        if self.train_outputs:
+            return decoded, raw[..., :4]
+        return decoded
 
 
 def decode_outputs(raw: jnp.ndarray, input_hw: Tuple[int, int],

@@ -214,11 +214,18 @@ class TestGridSampleJVP:
         (out ** 2).sum().backward()
         np.testing.assert_allclose(gp, tp.grad.numpy(), atol=1e-5)
 
-    def test_jvp_matches_finite_difference(self, rng):
+    def test_jvp_matches_finite_difference(self):
+        # Private rng (the shared session rng makes the draws depend on
+        # which tests ran before) + points kept away from cell faces:
+        # trilinear weights kink at integer pixel coords, where a
+        # central difference is invalid.
+        rng = np.random.default_rng(7)
         G = 8
         phi = rng.standard_normal((G, G, G)).astype(np.float32)
-        c0 = rng.uniform(-0.8, 0.8, size=(20, 3)).astype(np.float32)
-        dc = rng.standard_normal((20, 3)).astype(np.float32)
+        k = rng.integers(1, G - 2, size=(20, 3))
+        pix = k + rng.uniform(0.2, 0.8, size=(20, 3))
+        c0 = ((2.0 * pix + 1.0) / G - 1.0).astype(np.float32)
+        dc = rng.standard_normal((20, 3)).astype(np.float32) * 0.5
 
         _, tangent = jax.jvp(
             lambda c: grid_sample_trilinear(jnp.asarray(phi), c),

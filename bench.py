@@ -217,13 +217,17 @@ def detect_bench():
     from mvsmplfitting_tpu.detect.fastpose import FastPose
     from mvsmplfitting_tpu.detect.yolox import YOLOX
 
+    from mvsmplfitting_tpu.detect.predictor import cast_floats
+
     dev = jax.devices()[0]
-    peak = PEAK_FLOPS.get(getattr(dev, "device_kind", ""),
-                          {}).get("fp32")
+    peaks = PEAK_FLOPS.get(getattr(dev, "device_kind", ""), {})
     out = {}
 
-    def one(name, model, x, reps=5):
+    def one(name, model, x, reps=5, dtype=None):
         params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        if dtype is not None:
+            params = cast_floats(params, dtype)
+            x = x.astype(dtype)
 
         def run(p, xx):
             o = model.apply(p, xx)
@@ -243,18 +247,26 @@ def detect_bench():
         for _ in range(reps):
             float(f(params, x))
         dt = (time.perf_counter() - t0) / reps
+        peak_key = "bf16" if dtype == jnp.bfloat16 else "fp32"
+        peak = peaks.get(peak_key)
         out[name] = {
             "img_per_s": round(x.shape[0] / dt, 1),
             "tflop_per_s": round(flops / dt / 1e12, 2),
-            "mfu_fp32_pct": round(100 * flops / dt / peak, 1)
+            f"mfu_{peak_key}_pct": round(100 * flops / dt / peak, 1)
             if (peak and flops) else None,
         }
 
     rng = np.random.default_rng(0)
-    one("yolox_x_800x1440_b4", YOLOX(), jnp.asarray(
-        rng.standard_normal((4, 800, 1440, 3)), jnp.float32))
-    one("fastpose_r50_256x192_b80", FastPose(), jnp.asarray(
-        rng.standard_normal((80, 256, 192, 3)), jnp.float32))
+    yolox_x = jnp.asarray(rng.standard_normal((4, 800, 1440, 3)),
+                          jnp.float32)
+    pose_x = jnp.asarray(rng.standard_normal((80, 256, 192, 3)),
+                         jnp.float32)
+    one("yolox_x_800x1440_b4", YOLOX(), yolox_x)
+    one("fastpose_r50_256x192_b80", FastPose(), pose_x)
+    one("yolox_x_800x1440_b4_bf16", YOLOX(), yolox_x,
+        dtype=jnp.bfloat16)
+    one("fastpose_r50_256x192_b80_bf16", FastPose(), pose_x,
+        dtype=jnp.bfloat16)
     print(json.dumps({"metric": "detect_bench", "detail": out}))
 
 

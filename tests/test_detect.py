@@ -96,6 +96,37 @@ class TestFastPose:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestBf16Path:
+    """compute_dtype=bf16 (the MXU fast path / reference fp16 analogue)
+    must agree with fp32 at the decision level."""
+
+    def test_pose_estimator_bf16_close(self):
+        from mvsmplfitting_tpu.detect.predictor import PoseEstimator
+        r = np.random.default_rng(0)
+        img = r.uniform(0, 1, (160, 224, 3)).astype(np.float32)
+        pe32 = PoseEstimator(num_joints=17, input_hw=(64, 48), batch=8)
+        pe16 = PoseEstimator(params=pe32.params, num_joints=17,
+                             input_hw=(64, 48), batch=8,
+                             compute_dtype=jnp.bfloat16)
+        boxes = np.asarray([[20., 20., 120., 140.]], np.float32)
+        k32 = pe32.estimate(img, boxes)
+        k16 = pe16.estimate(img, boxes)
+        assert k16.dtype == np.float32
+        # random weights: argmax peaks may shift a pixel or two
+        assert np.abs(k32[..., :2] - k16[..., :2]).max() < 8.0
+
+    def test_detector_bf16_runs(self):
+        from mvsmplfitting_tpu.detect.predictor import PersonDetector
+        r = np.random.default_rng(1)
+        img = r.integers(0, 255, (100, 150, 3), np.uint8)
+        det = PersonDetector(input_hw=(64, 96), depth_mul=0.33,
+                             width_mul=0.25,
+                             compute_dtype=jnp.bfloat16)
+        boxes = det.detect_batch([img])[0]
+        assert boxes.dtype == np.float32 or boxes.size == 0
+        assert np.isfinite(boxes).all()
+
+
 class TestPreprocess:
     def test_letterbox_ratio_and_pad(self, rng):
         img = (rng.uniform(0, 255, size=(100, 50, 3))).astype(np.uint8)

@@ -12,8 +12,12 @@ uses (`preprocess.crop_affine`), and yields FIXED-SIZE padded batches
 bookkeeping (image_id, inverse-transform centers/scales) needed to
 write COCO results and score OKS mAP with `coco_io`/`metrics`.
 
-Training-time augmentation (the reference's mosaic/flip/rotate
-machinery) is out of scope; this is the inference/eval surface.
+`CocoPoseTrainDataset` is the training counterpart (the reference's
+`Mscoco`/`Halpe_26` train datasets + `SimpleTransform(train=True)`):
+it walks GT keypoint annotations, augments each person crop on the
+host (`augment.pose_train_sample`: half-body / scale / rotation /
+flip), builds Gaussian heatmap targets, and yields fixed-size batches
+for `train.make_pose_train_step`.
 """
 
 from __future__ import annotations
@@ -120,3 +124,95 @@ class CocoPoseEvalDataset:
                 valid[i] = 1.0
             yield PoseEvalBatch(crops, centers, scales, ids, scores,
                                 valid)
+
+
+class CocoPoseTrainDataset:
+    """Augmented training batches from a COCO `person_keypoints` GT
+    json (reference: the torch train datasets + `SimpleTransform`
+    train branch, `alphapose/datasets/mscoco.py` +
+    `simple_transform.py:200-268`).
+
+    Yields dicts {'image' (B,H,W,3) in [0,1], 'target' (B,Hm,Wm,J),
+    'target_weight' (B,J)} — exactly `train.make_pose_train_step`'s
+    batch contract.  Fixed batch size; the tail of an epoch is dropped
+    (static shapes; an epoch boundary reshuffles).
+    """
+
+    def __init__(self, ann_file: str, img_root: str,
+                 input_size: Tuple[int, int] = (256, 192),
+                 heatmap_size: Tuple[int, int] = (64, 48),
+                 batch_size: int = 32, sigma: float = 2.0,
+                 aug=None, seed: int = 0, min_keypoints: int = 1):
+        from .augment import PoseAugConfig
+        self.img_root = img_root
+        self.input_size = input_size
+        self.heatmap_size = heatmap_size
+        self.batch_size = batch_size
+        self.sigma = sigma
+        self.aug = aug or PoseAugConfig(input_hw=input_size)
+        self.rng = np.random.default_rng(seed)
+
+        with open(ann_file) as f:
+            data = json.load(f)
+        self._file_names = {int(im["id"]): im.get("file_name")
+                            for im in data.get("images", [])}
+        self.entries = []
+        for a in data.get("annotations", []):
+            kp = a.get("keypoints")
+            if not kp or "bbox" not in a:
+                continue
+            kp = np.asarray(kp, np.float32).reshape(-1, 3)
+            if (kp[:, 2] > 0).sum() < min_keypoints:
+                continue
+            self.entries.append({
+                "image_id": int(a["image_id"]),
+                "bbox": [float(v) for v in a["bbox"]],    # xywh
+                "joints": kp[:, :2],
+                "vis": (kp[:, 2] > 0).astype(np.float32),
+            })
+        if self.entries:
+            self.num_joints = self.entries[0]["joints"].shape[0]
+
+    def __len__(self) -> int:
+        return len(self.entries) // self.batch_size
+
+    def _img_path(self, image_id: int) -> str:
+        name = self._file_names.get(image_id)
+        if name is None:
+            name = f"{image_id:012d}.jpg"
+        return os.path.join(self.img_root, name)
+
+    def __iter__(self):
+        import cv2
+
+        from .augment import pose_train_sample
+        from .train import heatmap_targets
+
+        order = self.rng.permutation(len(self.entries))
+        H, W = self.input_size
+        Hm, Wm = self.heatmap_size
+        J = self.num_joints
+        for start in range(0, len(order) - self.batch_size + 1,
+                           self.batch_size):
+            imgs = np.zeros((self.batch_size, H, W, 3), np.float32)
+            targets = np.zeros((self.batch_size, Hm, Wm, J),
+                               np.float32)
+            weights = np.zeros((self.batch_size, J), np.float32)
+            for i, idx in enumerate(order[start:start +
+                                          self.batch_size]):
+                e = self.entries[idx]
+                img = cv2.imread(self._img_path(e["image_id"]))
+                if img is None:
+                    continue
+                x, y, w, h = e["bbox"]
+                crop, j_t, v_t = pose_train_sample(
+                    self.rng, img[..., ::-1].astype(np.float32) / 255.0,
+                    np.asarray([x, y, x + w, y + h], np.float32),
+                    e["joints"], e["vis"], self.aug)
+                t, tw = heatmap_targets(j_t, v_t, (Hm, Wm), (H, W),
+                                        self.sigma)
+                imgs[i] = crop
+                targets[i] = np.transpose(np.asarray(t), (1, 2, 0))
+                weights[i] = np.asarray(tw)[:, 0]
+            yield {"image": imgs, "target": targets,
+                   "target_weight": weights}

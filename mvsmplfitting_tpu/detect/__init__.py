@@ -31,3 +31,5 @@ from .coco_io import (evaluate_coco_map, load_coco_annotations,
 from .dataset import (CocoPoseEvalDataset, CocoPoseTrainDataset,
                       PoseEvalBatch)
 from .zoo import POSE_MODELS, build_pose_model
+from .deform_pool import (DeformRoIPoolingPack,
+                          ModulatedDeformRoIPoolingPack, deform_roi_pool)

@@ -295,3 +295,189 @@ class TestDeformConv:
             deform_conv2d(x, o, w, stride=1, padding=1) ** 2))(offset)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+# --------------------------------------------------------------------------
+# Deformable (PS-)RoI pooling
+# --------------------------------------------------------------------------
+
+from mvsmplfitting_tpu.detect.deform_pool import (  # noqa: E402
+    DeformRoIPoolingPack, ModulatedDeformRoIPoolingPack, deform_roi_pool)
+
+
+def _bilinear_interp_pool(data, x, y, width, height):
+    """`bilinear_interp` (`deform_pool_cuda_kernel.cu:31-51`)."""
+    x1, x2 = int(np.floor(x)), int(np.ceil(x))
+    y1, y2 = int(np.floor(y)), int(np.ceil(y))
+    dx, dy = x - x1, y - y1
+    return ((1 - dx) * (1 - dy) * data[y1, x1]
+            + (1 - dx) * dy * data[y2, x1]
+            + dx * (1 - dy) * data[y1, x2]
+            + dx * dy * data[y2, x2])
+
+
+def deform_pool_oracle(data, rois, trans, spatial_scale, out_size,
+                       output_dim, no_trans, group_size=1, part_size=None,
+                       sample_per_part=4, trans_std=0.0):
+    """`DeformablePSROIPoolForwardKernel`
+    (`deform_pool_cuda_kernel.cu:53-144`), NHWC in/out."""
+    B, H, W, C = data.shape
+    P = out_size if part_size is None else part_size
+    N = rois.shape[0]
+    nc = 1 if no_trans else trans.shape[1] // 2
+    cec = output_dim if no_trans else output_dim // nc
+    out = np.zeros((N, out_size, out_size, output_dim), np.float32)
+    for n in range(N):
+        b = int(rois[n, 0])
+        rs_w = round(rois[n, 1]) * spatial_scale - 0.5
+        rs_h = round(rois[n, 2]) * spatial_scale - 0.5
+        re_w = (round(rois[n, 3]) + 1.0) * spatial_scale - 0.5
+        re_h = (round(rois[n, 4]) + 1.0) * spatial_scale - 0.5
+        roi_w = max(re_w - rs_w, 0.1)
+        roi_h = max(re_h - rs_h, 0.1)
+        bin_h, bin_w = roi_h / out_size, roi_w / out_size
+        sub_h, sub_w = bin_h / sample_per_part, bin_w / sample_per_part
+        for ctop in range(output_dim):
+            for ph in range(out_size):
+                for pw in range(out_size):
+                    part_h = int(np.floor(ph / out_size * P))
+                    part_w = int(np.floor(pw / out_size * P))
+                    cid = ctop // cec
+                    t = trans[n].reshape(nc, 2, P, P) if not no_trans \
+                        else None
+                    tx = 0.0 if no_trans else \
+                        t[cid, 0, part_h, part_w] * trans_std
+                    ty = 0.0 if no_trans else \
+                        t[cid, 1, part_h, part_w] * trans_std
+                    wstart = pw * bin_w + rs_w + tx * roi_w
+                    hstart = ph * bin_h + rs_h + ty * roi_h
+                    gw = min(max(int(np.floor(pw * group_size
+                                              / out_size)), 0),
+                             group_size - 1)
+                    gh = min(max(int(np.floor(ph * group_size
+                                              / out_size)), 0),
+                             group_size - 1)
+                    c = (ctop * group_size + gh) * group_size + gw
+                    s, cnt = 0.0, 0
+                    for ih in range(sample_per_part):
+                        for iw in range(sample_per_part):
+                            w = wstart + iw * sub_w
+                            h = hstart + ih * sub_h
+                            if (w < -0.5 or w > W - 0.5 or h < -0.5
+                                    or h > H - 0.5):
+                                continue
+                            w = min(max(w, 0.0), W - 1.0)
+                            h = min(max(h, 0.0), H - 1.0)
+                            s += _bilinear_interp_pool(
+                                data[b, :, :, c], w, h, W, H)
+                            cnt += 1
+                    out[n, ph, pw, ctop] = 0.0 if cnt == 0 else s / cnt
+    return out
+
+
+class TestDeformPool:
+    def test_no_trans_matches_cuda_kernel_oracle(self, rng):
+        feats = rng.standard_normal((2, 12, 10, 5)).astype(np.float32)
+        rois = np.asarray([
+            [0, 1.2, 0.7, 7.3, 9.9],
+            [1, -3.0, 2.0, 13.0, 14.5],   # partly outside
+            [0, 4.0, 4.0, 4.2, 4.2],      # tiny -> 0.1 clamp
+        ], np.float32)
+        got = np.asarray(deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), None, out_size=3,
+            out_channels=5, spatial_scale=0.5, no_trans=True))
+        want = deform_pool_oracle(feats, rois, None, 0.5, 3, 5, True)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_trans_matches_cuda_kernel_oracle(self, rng):
+        feats = rng.standard_normal((1, 16, 16, 4)).astype(np.float32)
+        rois = np.asarray([[0, 2.0, 2.0, 11.0, 12.0],
+                           [0, 0.0, 5.0, 15.0, 15.0]], np.float32)
+        trans = rng.standard_normal((2, 2, 5, 5)).astype(np.float32)
+        kw = dict(out_size=4, output_dim=4, no_trans=False,
+                  part_size=5, sample_per_part=2, trans_std=0.2)
+        got = np.asarray(deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), jnp.asarray(trans),
+            out_size=4, out_channels=4, spatial_scale=1.0,
+            no_trans=False, part_size=5, sample_per_part=2,
+            trans_std=0.2))
+        want = deform_pool_oracle(feats, rois, trans, 1.0, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_position_sensitive_group2(self, rng):
+        """group_size=2: C = out*gs^2 position-sensitive routing."""
+        out_ch, gs = 3, 2
+        feats = rng.standard_normal((1, 10, 10, out_ch * gs * gs)
+                                    ).astype(np.float32)
+        rois = np.asarray([[0, 1.0, 1.0, 8.0, 8.0]], np.float32)
+        got = np.asarray(deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), None, out_size=4,
+            out_channels=out_ch, spatial_scale=1.0, no_trans=True,
+            group_size=gs))
+        want = deform_pool_oracle(feats, rois, None, 1.0, 4, out_ch,
+                                  True, group_size=gs)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_multiclass_trans(self, rng):
+        """num_classes=2 offsets select by ctop // channels_each."""
+        feats = rng.standard_normal((1, 12, 12, 6)).astype(np.float32)
+        rois = np.asarray([[0, 1.0, 2.0, 9.0, 10.0]], np.float32)
+        trans = rng.standard_normal((1, 4, 3, 3)).astype(np.float32)
+        got = np.asarray(deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), jnp.asarray(trans),
+            out_size=3, out_channels=6, spatial_scale=1.0,
+            no_trans=False, trans_std=0.1))
+        want = deform_pool_oracle(feats, rois, trans, 1.0, 3, 6, False,
+                                  trans_std=0.1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_pack_zero_init_equals_plain_pool(self, rng):
+        """Zero-init offset FC (`deform_pool.py:146-147`) => the pack
+        module's first output == the plain no_trans pooling."""
+        feats = jnp.asarray(rng.standard_normal((1, 12, 12, 4)),
+                            jnp.float32)
+        rois = jnp.asarray([[0, 1.0, 1.0, 9.0, 9.0]], jnp.float32)
+        mod = DeformRoIPoolingPack(spatial_scale=1.0, out_size=3,
+                                   out_channels=4, trans_std=0.1,
+                                   deform_fc_channels=16)
+        params = mod.init(jax.random.PRNGKey(0), feats, rois)
+        got = mod.apply(params, feats, rois)
+        plain = deform_roi_pool(feats, rois, None, out_size=3,
+                                out_channels=4, spatial_scale=1.0,
+                                no_trans=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(plain),
+                                   atol=1e-6)
+
+    def test_modulated_pack_starts_at_half(self, rng):
+        """Zero-init mask FC => sigmoid(0)=0.5 scaling
+        (`deform_pool.py:226-227`)."""
+        feats = jnp.asarray(rng.standard_normal((1, 12, 12, 4)),
+                            jnp.float32)
+        rois = jnp.asarray([[0, 1.0, 1.0, 9.0, 9.0]], jnp.float32)
+        mod = ModulatedDeformRoIPoolingPack(
+            spatial_scale=1.0, out_size=3, out_channels=4,
+            trans_std=0.1, deform_fc_channels=16)
+        params = mod.init(jax.random.PRNGKey(0), feats, rois)
+        got = mod.apply(params, feats, rois)
+        plain = deform_roi_pool(feats, rois, None, out_size=3,
+                                out_channels=4, spatial_scale=1.0,
+                                no_trans=True)
+        np.testing.assert_allclose(np.asarray(got),
+                                   0.5 * np.asarray(plain), atol=1e-6)
+
+    def test_gradients_flow_to_data_and_trans(self, rng):
+        feats = jnp.asarray(rng.standard_normal((1, 12, 12, 4)),
+                            jnp.float32)
+        rois = jnp.asarray([[0, 1.0, 1.0, 9.0, 9.0]], jnp.float32)
+        trans = jnp.asarray(rng.standard_normal((1, 2, 3, 3)),
+                            jnp.float32)
+
+        def loss(f, t):
+            return jnp.sum(deform_roi_pool(
+                f, rois, t, out_size=3, out_channels=4,
+                spatial_scale=1.0, trans_std=0.2) ** 2)
+
+        gf, gt = jax.grad(loss, argnums=(0, 1))(feats, trans)
+        assert np.isfinite(np.asarray(gf)).all()
+        assert float(jnp.abs(gf).max()) > 0
+        assert float(jnp.abs(gt).max()) > 0

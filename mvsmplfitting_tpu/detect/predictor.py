@@ -19,8 +19,9 @@ import numpy as np
 
 from ..data.keypoints import save_keypoints_json
 from .fastpose import FastPose
-from .preprocess import (bbox_to_center_scale, crop_affine,
-                         heatmap_to_coords, letterbox, normalize_crops)
+from .preprocess import (COCO_FLIP_PAIRS, bbox_to_center_scale,
+                         crop_affine, flip_heatmap, heatmap_to_coords,
+                         letterbox, normalize_crops)
 from .yolox import YOLOX, postprocess_boxes
 
 
@@ -98,13 +99,21 @@ class PoseEstimator:
     def __init__(self, params=None, num_joints: int = 26,
                  input_hw: Tuple[int, int] = (256, 192),
                  seed: int = 0, batch: int = 80,
-                 use_pose_nms: bool = False, compute_dtype=None):
-        self.model = FastPose(num_joints=num_joints)
+                 use_pose_nms: bool = False, compute_dtype=None,
+                 flip_test: bool = False,
+                 joint_pairs=COCO_FLIP_PAIRS, model=None):
+        self.model = model or FastPose(num_joints=num_joints)
         self.input_hw = input_hw
         self.batch = batch
         # Parametric pose NMS, off by default like the reference demo
         # (`alphapose_core.py:35-37`); enable for crowded scenes.
         self.use_pose_nms = use_pose_nms
+        # Flip-test ensembling, also off by default (`:35-37`): each
+        # chunk runs [crops; mirror(crops)], the mirrored heatmaps are
+        # un-flipped/pair-swapped/shifted and averaged in
+        # (`alphapose_core.py:85-91`).
+        self.flip_test = flip_test
+        self.joint_pairs = tuple(joint_pairs)
         if params is None:
             dummy = jnp.zeros((1, *input_hw, 3))
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -126,8 +135,16 @@ class PoseEstimator:
                             self.input_hw)
         hms = []
         for i in range(0, crops.shape[0], self.batch):
-            hms.append(self._apply(self.params,
-                                   normalize_crops(crops[i:i + self.batch])))
+            chunk = normalize_crops(crops[i:i + self.batch])
+            if self.flip_test:
+                n = chunk.shape[0]
+                hm = self._apply(self.params, jnp.concatenate(
+                    [chunk, chunk[:, :, ::-1, :]], axis=0))
+                hm = 0.5 * (hm[:n] + flip_heatmap(hm[n:],
+                                                  self.joint_pairs))
+            else:
+                hm = self._apply(self.params, chunk)
+            hms.append(hm)
         hms = jnp.concatenate(hms, axis=0)
         coords, conf = heatmap_to_coords(hms, jnp.asarray(centers),
                                          jnp.asarray(scales))

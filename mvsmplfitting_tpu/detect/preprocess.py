@@ -179,3 +179,42 @@ def heatmap_to_coords_integral(hms: jnp.ndarray, centers: jnp.ndarray,
     x_img = (px - w * 0.5) * ratio + centers[:, 0:1]
     y_img = (py - h * 0.5) * ratio + centers[:, 1:2]
     return jnp.stack([x_img, y_img], axis=-1), conf
+
+
+# Pairs of laterally-symmetric joints swapped under a horizontal flip.
+# The reference's predictor exposes ONE list — the COCO-17 pairs
+# (`alphapose_core/alphapose_core.py:249-253`) — and uses it even for
+# the 26-joint halpe model (pairs beyond joint 16 are simply not
+# swapped); reproduced as the default for checkpoint parity.
+COCO_FLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8),
+                   (9, 10), (11, 12), (13, 14), (15, 16))
+HALPE26_FLIP_PAIRS = COCO_FLIP_PAIRS + ((20, 21), (22, 23), (24, 25))
+
+
+def flip_heatmap(hms: jnp.ndarray, joint_pairs=COCO_FLIP_PAIRS,
+                 shift: bool = True) -> jnp.ndarray:
+    """Un-flip heatmaps predicted on horizontally-mirrored crops
+    (`alphapose/utils/transforms.py:491-523`): flip the width axis,
+    swap each symmetric joint pair's channels, then (shift=True) shift
+    one pixel right — duplicating column 0 — to compensate the flip's
+    half-pixel asymmetry before averaging with the unflipped pass.
+
+    hms: (B, Hm, Wm, J) NHWC (torch's NCHW width flip == axis 2 here).
+
+    Parity note: the reference's shift is an overlapping in-place copy
+    (`out[..., 1:] = out[..., :-1]`, `transforms.py:519-523`) — UB on
+    overlap: on CPU torch it cascades (smears column 0 across the whole
+    row); on the CUDA tensors it actually runs on, the parallel copy
+    approximates the intended one-pixel shift.  We implement the
+    intended shift; the shift=False path is golden-tested bit-exact.
+    """
+    out = hms[:, :, ::-1, :]
+    J = hms.shape[-1]
+    perm = np.arange(J)
+    for a, b in joint_pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    out = out[..., jnp.asarray(perm)]
+    if shift:
+        out = jnp.concatenate([out[:, :, :1, :], out[:, :, :-1, :]],
+                              axis=2)
+    return out

@@ -444,3 +444,60 @@ class TestHarDNet:
         out = m.apply(p, jnp.ones((2, 128, 128, 3)))
         assert out.shape == (2, 32, 32, 17)       # input / 4
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFlipTest:
+    def test_flip_heatmap_matches_reference_torch(self, rng):
+        """Golden: NHWC flip_heatmap == the reference's torch
+        `flip_heatmap(..., shift=True)` (`transforms.py:491-523`)."""
+        import sys
+        sys.path.insert(0, "/root/reference/alphapose_core")
+        try:
+            import torch
+            from alphapose.utils.transforms import (
+                flip_heatmap as ref_flip)
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference transforms unavailable: {e}")
+        finally:
+            sys.path.pop(0)
+
+        from mvsmplfitting_tpu.detect.preprocess import (
+            COCO_FLIP_PAIRS, flip_heatmap)
+
+        hm = rng.standard_normal((2, 17, 8, 6)).astype(np.float32)
+        pairs = [list(p) for p in COCO_FLIP_PAIRS]
+        # shift=False: well-defined in torch -> exact golden.
+        want = ref_flip(torch.from_numpy(hm.copy()), pairs,
+                        shift=False).numpy()
+        got = np.asarray(flip_heatmap(
+            jnp.asarray(np.transpose(hm, (0, 2, 3, 1))), shift=False))
+        np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)),
+                                   want, atol=1e-6)
+        # shift=True in the reference is an overlapping in-place copy
+        # (UB; cascades on CPU torch — see the flip_heatmap parity
+        # note).  Check OUR shift implements the intended semantics:
+        # column k reads pre-shift column k-1, column 0 unchanged.
+        ours = np.asarray(flip_heatmap(
+            jnp.asarray(np.transpose(hm, (0, 2, 3, 1))), shift=True))
+        np.testing.assert_allclose(ours[:, :, 1:, :], got[:, :, :-1, :],
+                                   atol=1e-6)
+        np.testing.assert_allclose(ours[:, :, 0, :], got[:, :, 0, :],
+                                   atol=1e-6)
+
+    def test_pose_estimator_flip_test(self, rng):
+        """flip_test=True runs the doubled-batch ensembling path
+        (`alphapose_core.py:85-91`) and still returns (M, J, 3)."""
+        from mvsmplfitting_tpu.detect.predictor import PoseEstimator
+
+        est = PoseEstimator(num_joints=17, input_hw=(64, 48),
+                            flip_test=True, batch=4)
+        img = rng.uniform(0, 1, (100, 80, 3)).astype(np.float32)
+        boxes = np.asarray([[10, 10, 60, 90], [20, 5, 75, 95]],
+                           np.float32)
+        kps = est.estimate(img, boxes)
+        assert kps.shape == (2, 17, 3)
+        assert np.isfinite(kps).all()
+        # the ensemble differs from the single-pass prediction
+        est.flip_test = False
+        kps_single = est.estimate(img, boxes)
+        assert not np.allclose(kps, kps_single)

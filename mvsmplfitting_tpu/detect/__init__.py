@@ -28,8 +28,8 @@ from .metrics import heatmap_pck, keypoint_map, keypoint_oks
 from .fastpose_duc import FastPoseDUC, FastPoseDUCDense
 from .coco_io import (evaluate_coco_map, load_coco_annotations,
                       load_coco_results, save_coco_results)
-from .dataset import (CocoPoseEvalDataset, CocoPoseTrainDataset,
-                      PoseEvalBatch)
+from .dataset import (CocoDetTrainDataset, CocoPoseEvalDataset,
+                      CocoPoseTrainDataset, PoseEvalBatch)
 from .zoo import POSE_MODELS, build_pose_model
 from .deform_pool import (DeformRoIPoolingPack,
                           ModulatedDeformRoIPoolingPack, deform_roi_pool)

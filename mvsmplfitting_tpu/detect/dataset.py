@@ -216,3 +216,115 @@ class CocoPoseTrainDataset:
                 weights[i] = np.asarray(tw)[:, 0]
             yield {"image": imgs, "target": targets,
                    "target_weight": weights}
+
+
+class CocoDetTrainDataset:
+    """Mosaic-augmented detection training batches from a COCO
+    `instances` GT json (reference: `yolox/data/datasets/coco.py` +
+    `MosaicDetection`, `yolox/data/datasets/mosaicdetection.py:36-160`).
+
+    Yields dicts {'image': (B,H,W,3) float32 BGR 0-255, 'labels':
+    (B, max_labels, 5) [cls, cx, cy, w, h] zero-padded} — exactly
+    `train.make_yolox_train_step`'s batch contract.  ``mosaic=False``
+    is the reference's final `no_aug` epochs mode (plain letterbox
+    resize + mirror, `yolox/exp/yolox_base.py` close_mosaic semantics).
+    Fixed batch size; the epoch tail is dropped (static shapes).
+    """
+
+    def __init__(self, ann_file: str, img_root: str,
+                 input_hw: Tuple[int, int] = (640, 640),
+                 batch_size: int = 8, max_labels: int = 100,
+                 seed: int = 0, mosaic: bool = True,
+                 degrees: float = 10.0, translate: float = 0.1,
+                 scale_range: Tuple[float, float] = (0.5, 1.5),
+                 shear: float = 2.0, mirror_prob: float = 0.5):
+        self.img_root = img_root
+        self.input_hw = input_hw
+        self.batch_size = batch_size
+        self.max_labels = max_labels
+        self.mosaic = mosaic
+        self.aug = dict(degrees=degrees, translate=translate,
+                        scale_range=scale_range, shear=shear)
+        self.mirror_prob = mirror_prob
+        self.rng = np.random.default_rng(seed)
+
+        with open(ann_file) as f:
+            data = json.load(f)
+        self._file_names = {int(im["id"]): im.get("file_name")
+                            for im in data.get("images", [])}
+        cat_ids = sorted(c["id"] for c in data.get("categories", []))
+        self.class_of = {cid: i for i, cid in enumerate(cat_ids)}
+        self.num_classes = max(len(cat_ids), 1)
+        boxes: dict = {}
+        for a in data.get("annotations", []):
+            if "bbox" not in a or a.get("iscrowd", 0):
+                continue
+            x, y, w, h = (float(v) for v in a["bbox"])
+            if w <= 0 or h <= 0:
+                continue
+            cls = self.class_of.get(int(a.get("category_id", 1)), 0)
+            boxes.setdefault(int(a["image_id"]), []).append(
+                [x, y, x + w, y + h, cls])
+        self.entries = [
+            {"image_id": iid, "labels": np.asarray(lab, np.float32)}
+            for iid, lab in sorted(boxes.items())]
+
+    def __len__(self) -> int:
+        return len(self.entries) // self.batch_size
+
+    def _load(self, idx: int):
+        import cv2
+        e = self.entries[idx]
+        name = self._file_names.get(e["image_id"])
+        if name is None:
+            name = f"{e['image_id']:012d}.jpg"
+        img = cv2.imread(os.path.join(self.img_root, name))
+        if img is None:
+            img = np.zeros((*self.input_hw, 3), np.uint8)
+        return img.astype(np.float32), e["labels"]
+
+    def _plain_sample(self, idx: int):
+        """letterbox resize + mirror (the no-mosaic TrainTransform
+        path, `data_augment.py:189-271`)."""
+        import cv2
+        from .augment import labels_to_padded, mirror_boxes
+        img, lab = self._load(idx)
+        ih, iw = self.input_hw
+        h0, w0 = img.shape[:2]
+        r = min(ih / h0, iw / w0)
+        resized = cv2.resize(img, (int(w0 * r), int(h0 * r)),
+                             interpolation=cv2.INTER_LINEAR)
+        canvas = np.full((ih, iw, 3), 114.0, np.float32)
+        canvas[:resized.shape[0], :resized.shape[1]] = resized
+        lab = lab.copy()
+        lab[:, :4] *= r
+        canvas, lab = mirror_boxes(self.rng, canvas, lab,
+                                   self.mirror_prob)
+        return canvas, labels_to_padded(lab, self.max_labels)
+
+    def __iter__(self):
+        from .augment import yolox_train_sample
+
+        order = self.rng.permutation(len(self.entries))
+        H, W = self.input_hw
+        for start in range(0, len(order) - self.batch_size + 1,
+                           self.batch_size):
+            imgs = np.zeros((self.batch_size, H, W, 3), np.float32)
+            labels = np.zeros((self.batch_size, self.max_labels, 5),
+                              np.float32)
+            for i, idx in enumerate(order[start:start
+                                          + self.batch_size]):
+                if self.mosaic:
+                    picks = [int(idx)] + [
+                        int(v) for v in self.rng.integers(
+                            0, len(self.entries), 3)]
+                    loaded = [self._load(p) for p in picks]
+                    img, lab = yolox_train_sample(
+                        self.rng, [im for im, _ in loaded],
+                        [lb for _, lb in loaded], self.input_hw,
+                        max_labels=self.max_labels, **self.aug)
+                else:
+                    img, lab = self._plain_sample(int(idx))
+                imgs[i] = img
+                labels[i] = lab
+            yield {"image": imgs, "labels": labels}

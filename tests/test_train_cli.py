@@ -89,3 +89,81 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(out, "ema.npz"))
         lines = open(os.path.join(out, "train_metrics.jsonl")).read()
         assert "loss" in lines
+
+
+@pytest.fixture(scope="module")
+def coco_det_ws(tmp_path_factory):
+    """Synthetic COCO instances GT: 8 images, 1-3 boxes each."""
+    import cv2
+    root = tmp_path_factory.mktemp("coco_det_ws")
+    img_dir = root / "images"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(7)
+    images, anns = [], []
+    aid = 0
+    for i in range(8):
+        H, W = 100, 140
+        img = rng.integers(0, 255, (H, W, 3), np.uint8)
+        name = f"d{i}.jpg"
+        cv2.imwrite(str(img_dir / name), img)
+        images.append({"id": i, "file_name": name,
+                       "width": W, "height": H})
+        for _ in range(int(rng.integers(1, 4))):
+            x = float(rng.uniform(0, W - 30))
+            y = float(rng.uniform(0, H - 30))
+            w = float(rng.uniform(15, 30))
+            h = float(rng.uniform(15, 30))
+            anns.append({"id": aid, "image_id": i, "category_id": 1,
+                         "bbox": [x, y, w, h], "iscrowd": 0,
+                         "area": w * h})
+            aid += 1
+    gt = {"images": images, "annotations": anns,
+          "categories": [{"id": 1, "name": "person"}]}
+    ann_path = root / "gt.json"
+    with open(ann_path, "w") as f:
+        json.dump(gt, f)
+    return str(ann_path), str(img_dir)
+
+
+class TestDetTrainDataset:
+    def test_mosaic_batches(self, coco_det_ws):
+        from mvsmplfitting_tpu.detect.dataset import CocoDetTrainDataset
+        ann, img_root = coco_det_ws
+        ds = CocoDetTrainDataset(ann, img_root, input_hw=(64, 64),
+                                 batch_size=4, max_labels=20, seed=3)
+        assert len(ds) == 2 and ds.num_classes == 1
+        b = next(iter(ds))
+        assert b["image"].shape == (4, 64, 64, 3)
+        assert b["labels"].shape == (4, 20, 5)
+        assert b["image"].max() > 1.5          # 0-255 scale
+        # cxcywh rows: any real label has positive w/h
+        real = b["labels"][b["labels"][:, :, 3] > 0]
+        assert (real[:, 4] > 0).all()
+
+    def test_no_aug_mode(self, coco_det_ws):
+        from mvsmplfitting_tpu.detect.dataset import CocoDetTrainDataset
+        ann, img_root = coco_det_ws
+        ds = CocoDetTrainDataset(ann, img_root, input_hw=(64, 64),
+                                 batch_size=4, max_labels=20,
+                                 mosaic=False, seed=3)
+        b = next(iter(ds))
+        assert b["image"].shape == (4, 64, 64, 3)
+        # letterbox: boxes stay inside the canvas
+        real = b["labels"][b["labels"][:, :, 3] > 0]
+        assert (real[:, 1] <= 64).all() and (real[:, 2] <= 64).all()
+
+
+class TestYoloxTrainCLI:
+    def test_two_steps_end_to_end(self, coco_det_ws, tmp_path):
+        from mvsmplfitting_tpu.cli.train_yolox import main
+        ann, img_root = coco_det_ws
+        out = str(tmp_path / "yrun")
+        main(["--ann", ann, "--img_root", img_root,
+              "--depth", "0.33", "--width", "0.125",
+              "--input_size", "64x64", "--batch", "2",
+              "--epochs", "1", "--max_steps", "2",
+              "--max_labels", "20", "--out", out])
+        assert os.path.exists(os.path.join(out, "last.npz"))
+        assert os.path.exists(os.path.join(out, "ema.npz"))
+        lines = open(os.path.join(out, "train_metrics.jsonl")).read()
+        assert "num_fg" in lines

@@ -27,10 +27,22 @@ def main(argv=None) -> int:
     p.add_argument("--yolox_ckpt", default=None)
     p.add_argument("--pose_ckpt", default=None)
     p.add_argument("--det_thresh", type=float, default=0.1)
+    p.add_argument("--pose_model", default="fastpose",
+                   help="pose zoo net (detect/zoo.py)")
+    p.add_argument("--num_joints", type=int, default=26)
+    p.add_argument("--flip_test", action="store_true",
+                   help="mirrored-batch heatmap ensembling")
+    p.add_argument("--pose_nms", action="store_true",
+                   help="parametric pose NMS for crowded scenes")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the conv graphs in bfloat16 on the MXU")
     args = p.parse_args(argv)
+
+    import jax.numpy as jnp
 
     from ..detect.predictor import (KeypointPipeline, PersonDetector,
                                     PoseEstimator)
+    from ..detect.zoo import build_pose_model
 
     det_params = pose_params = None
     if args.yolox_ckpt:
@@ -40,9 +52,16 @@ def main(argv=None) -> int:
         from ..detect.convert import convert_fastpose
         pose_params = convert_fastpose(args.pose_ckpt)
 
+    dtype = jnp.bfloat16 if args.bf16 else None
     pipeline = KeypointPipeline(
-        PersonDetector(det_params, conf_thresh=args.det_thresh),
-        PoseEstimator(pose_params))
+        PersonDetector(det_params, conf_thresh=args.det_thresh,
+                       compute_dtype=dtype),
+        PoseEstimator(pose_params, num_joints=args.num_joints,
+                      model=build_pose_model(args.pose_model,
+                                             args.num_joints),
+                      flip_test=args.flip_test,
+                      use_pose_nms=args.pose_nms,
+                      compute_dtype=dtype))
 
     img_root = os.path.join(args.data_folder, args.img_folder)
     keyp_root = os.path.join(args.data_folder, args.keyp_folder)

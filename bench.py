@@ -270,6 +270,93 @@ def detect_bench():
     print(json.dumps({"metric": "detect_bench", "detail": out}))
 
 
+def train_bench():
+    """Training-step throughput + MFU (run: `python bench.py --train`).
+
+    Times the REAL jitted train steps (loss + grads + optimizer + EMA +
+    BN batch-stats): pose heatmap-MSE on FastPose-R50 and SimOTA on
+    YOLOX-X — the TPU counterpart of the reference family's
+    `scripts/train.py` / `tools/train.py` inner loops.  Synthetic
+    batches (device-resident; the host dataloader is pipelined in real
+    training).  Same scalar-fetch timing discipline as `detect_bench`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mvsmplfitting_tpu.detect.fastpose import FastPose
+    from mvsmplfitting_tpu.detect.train import (init_train_state,
+                                                lr_schedule,
+                                                make_optimizer,
+                                                make_pose_train_step,
+                                                make_yolox_train_step)
+    from mvsmplfitting_tpu.detect.yolox import YOLOX
+
+    dev = jax.devices()[0]
+    peaks = PEAK_FLOPS.get(getattr(dev, "device_kind", ""), {})
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def one(name, model, step_fn_maker, batch, tx, reps=5):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), batch["image"][:1])
+        state = init_train_state(variables, tx)
+        step = step_fn_maker(model, tx)
+        state, loss, _ = step(state, batch)      # compile + warm
+        float(loss)
+        try:
+            cost = step.lower(state, batch).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, loss, _ = step(state, batch)
+            float(loss)
+        dt = (time.perf_counter() - t0) / reps
+        peak = peaks.get("fp32")
+        out[name] = {
+            "img_per_s": round(batch["image"].shape[0] / dt, 1),
+            "step_ms": round(dt * 1e3, 1),
+            "tflop_per_s": round(flops / dt / 1e12, 2),
+            "mfu_fp32_pct": round(100 * flops / dt / peak, 1)
+            if (peak and flops) else None,
+            "final_loss": round(float(loss), 4),
+        }
+
+    B = 32
+    pose_batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (B, 256, 192, 3)),
+                             jnp.float32),
+        "target": jnp.asarray(rng.uniform(0, 1, (B, 64, 48, 17)),
+                              jnp.float32),
+        "target_weight": jnp.ones((B, 17), jnp.float32),
+    }
+    tx_pose = make_optimizer("adam", lr_schedule(
+        "multistep", 1e-3, 100, 200))
+    one("fastpose_r50_train_b32", FastPose(num_joints=17),
+        lambda m, tx: make_pose_train_step(m, tx), pose_batch, tx_pose)
+
+    Bd = 8
+    labels = np.zeros((Bd, 50, 5), np.float32)
+    for i in range(Bd):
+        for g in range(6):
+            labels[i, g] = [0, 80 + 60 * g, 100 + 40 * g, 50, 80]
+    det_batch = {
+        "image": jnp.asarray(
+            rng.uniform(0, 255, (Bd, 640, 640, 3)), jnp.float32),
+        "labels": jnp.asarray(labels),
+    }
+    tx_det = make_optimizer("sgd", lr_schedule(
+        "yoloxwarmcos", 0.01 / 64 * Bd, 100, 300))
+    ymodel = YOLOX(input_hw=(640, 640), train_outputs=True)
+    one("yolox_x_simota_train_640_b8", ymodel,
+        lambda m, tx: make_yolox_train_step(m, tx, (640, 640)),
+        det_batch, tx_det)
+    print(json.dumps({"metric": "train_bench", "detail": out}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -349,5 +436,7 @@ if __name__ == "__main__":
         sweep()
     elif "--detect" in sys.argv:
         detect_bench()
+    elif "--train" in sys.argv:
+        train_bench()
     else:
         main()

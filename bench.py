@@ -392,6 +392,20 @@ def main():
     detail["real_final_loss_mean"] = float(np.asarray(loss).mean())
     detail["utilization"] = _utilization(flops, bytes_acc, dt, dev)
 
+    # Heterogeneous production batch: per-lane ±2px keypoint jitter on
+    # detected joints.  The broadcast batch above converges in
+    # lockstep; real batches straggle in the vmapped while_loop, so
+    # this is the honest mixed-workload figure (same compiled program).
+    key = jax.random.PRNGKey(0)
+    noise = 2.0 * jax.random.normal(key, obs.gt2d.shape,
+                                    obs.gt2d.dtype)
+    obs_h = obs.replace(
+        gt2d=obs.gt2d + noise * (obs.conf[..., None] > 0))
+    h_fps, _, h_loss = _timed_fps(batched, obs_h, BATCH)
+    detail["heterogeneous_fps"] = round(h_fps, 1)
+    detail["heterogeneous_loss_mean"] = float(
+        np.asarray(h_loss).mean())
+
     # --- secondary: the synthetic self-consistent problem ------------
     from __graft_entry__ import _make_problem
     from mvsmplfitting_tpu.fitting import FitConfig

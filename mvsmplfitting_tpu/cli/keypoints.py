@@ -21,7 +21,14 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--data_folder", required=True)
+    p.add_argument("--data_folder", default=None,
+                   help="images/<serial>/<cam> tree (offline mode)")
+    p.add_argument("--video", default=None,
+                   help="video file / image dir / webcam index "
+                        "(streaming mode: detect/stream.py)")
+    p.add_argument("--out_video", default=None,
+                   help="streaming mode: annotated output video")
+    p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--img_folder", default="images")
     p.add_argument("--keyp_folder", default="keypoints")
     p.add_argument("--yolox_ckpt", default=None)
@@ -63,6 +70,20 @@ def main(argv=None) -> int:
                       use_pose_nms=args.pose_nms,
                       compute_dtype=dtype))
 
+    if args.video is not None:
+        from ..detect.stream import run_stream
+        src = int(args.video) if args.video.isdigit() else args.video
+        out_dir = (os.path.join(args.data_folder, args.keyp_folder)
+                   if args.data_folder else "keypoints")
+        start = time.time()
+        n = run_stream(src, pipeline.detector, pipeline.pose,
+                       out_json_dir=out_dir, out_video=args.out_video,
+                       max_frames=args.max_frames)
+        print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")
+        return 0
+
+    if args.data_folder is None:
+        p.error("--data_folder or --video required")
     img_root = os.path.join(args.data_folder, args.img_folder)
     keyp_root = os.path.join(args.data_folder, args.keyp_folder)
 

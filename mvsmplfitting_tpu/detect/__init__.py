@@ -33,3 +33,4 @@ from .dataset import (CocoDetTrainDataset, CocoPoseEvalDataset,
 from .zoo import POSE_MODELS, build_pose_model
 from .deform_pool import (DeformRoIPoolingPack,
                           ModulatedDeformRoIPoolingPack, deform_roi_pool)
+from .stream import frame_source, run_stream

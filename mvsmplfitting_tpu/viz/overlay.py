@@ -96,17 +96,23 @@ def draw_keypoints(img: np.ndarray, keypoints: np.ndarray,
     """
     import cv2
 
-    kp = np.asarray(keypoints)
+    kp = np.asarray(keypoints, np.float64)
+    # Non-finite or absurd coords (un-converged nets, padded rows)
+    # would overflow cv2's int32 point parsing — drop them instead.
+    ok = (np.isfinite(kp[:, :2]).all(axis=1)
+          & (np.abs(kp[:, :2]) < 1e8).all(axis=1)
+          & (kp[:, 2] > conf_thresh))
+    pts = np.round(np.clip(np.nan_to_num(kp[:, :2]), -1e8, 1e8)
+                   ).astype(np.int32)
     edges = HALPE26_EDGES if len(kp) == 26 else COCO17_EDGES
     for a, b in edges:
-        if a < len(kp) and b < len(kp) and \
-                kp[a, 2] > conf_thresh and kp[b, 2] > conf_thresh:
-            cv2.line(img, tuple(np.round(kp[a, :2]).astype(int)),
-                     tuple(np.round(kp[b, :2]).astype(int)),
+        if a < len(kp) and b < len(kp) and ok[a] and ok[b]:
+            cv2.line(img, tuple(int(v) for v in pts[a]),
+                     tuple(int(v) for v in pts[b]),
                      (0, 255, 255), 2, cv2.LINE_AA)
     for j in range(len(kp)):
-        if kp[j, 2] > conf_thresh:
-            cv2.circle(img, tuple(np.round(kp[j, :2]).astype(int)), 3,
+        if ok[j]:
+            cv2.circle(img, tuple(int(v) for v in pts[j]), 3,
                        (0, 0, 255), -1, cv2.LINE_AA)
     return img
 

@@ -52,3 +52,56 @@ def test_pipeline_writes_openpose_json(tmp_path, rng):
     people = read_keypoints_json(out)
     for p in people:
         assert p.shape == (17, 3)
+
+
+class TestStream:
+    """Streaming sources + writer (`detect/stream.py` — the
+    file/webcam detector + DataWriter surface)."""
+
+    def _tiny(self):
+        from mvsmplfitting_tpu.detect.predictor import (PersonDetector,
+                                                        PoseEstimator)
+        det = PersonDetector(input_hw=(64, 96), conf_thresh=1e-6,
+                             depth_mul=0.33, width_mul=0.25)
+        pose = PoseEstimator(input_hw=(64, 48), num_joints=17)
+        return det, pose
+
+    def test_directory_source(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        from mvsmplfitting_tpu.detect.stream import frame_source
+        d = tmp_path / "imgs"
+        os.makedirs(d)
+        for i in range(3):
+            cv2.imwrite(str(d / f"f{i}.jpg"),
+                        rng.integers(0, 255, (40, 50, 3), np.uint8))
+        frames = list(frame_source(str(d)))
+        assert [i for i, _ in frames] == [0, 1, 2]
+        assert frames[0][1].shape == (40, 50, 3)
+        assert len(list(frame_source(str(d), max_frames=2))) == 2
+
+    def test_video_stream_end_to_end(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        from mvsmplfitting_tpu.detect.stream import run_stream
+
+        vid = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"),
+                            10.0, (64, 48))
+        assert w.isOpened()
+        for _ in range(5):
+            w.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+        w.release()
+
+        det, pose = self._tiny()
+        out_json = str(tmp_path / "kp")
+        out_video = str(tmp_path / "out.mp4")
+        n = run_stream(vid, det, pose, out_json_dir=out_json,
+                       out_video=out_video, chunk=2, max_frames=4)
+        assert n == 4
+        jsons = sorted(os.listdir(os.path.join(out_json, "stream")))
+        assert jsons == [f"{i:06d}_keypoints.json" for i in range(4)]
+        with open(os.path.join(out_json, "stream", jsons[0])) as f:
+            data = json.load(f)
+        assert "people" in data
+        vids = [p for p in os.listdir(tmp_path)
+                if p.startswith("out.")]
+        assert vids  # mp4 or the MJPG fallback

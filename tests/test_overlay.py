@@ -137,3 +137,18 @@ class TestHalpe26:
         kp[19] = (32, 50, 1.0)
         out = draw_keypoints(img.copy(), kp)
         assert out[30, 32].sum() > 0     # mid-spine pixel painted
+
+
+class TestDrawRobustness:
+    def test_nonfinite_and_overflow_coords_skipped(self):
+        from mvsmplfitting_tpu.viz.overlay import draw_keypoints
+        img = np.zeros((32, 32, 3), np.uint8)
+        kp = np.asarray([
+            [np.nan, 5.0, 0.9],     # NaN -> skipped
+            [1e12, -1e12, 0.9],     # int32 overflow -> skipped
+            [10.0, 10.0, 0.9],      # valid -> drawn
+            [20.0, 20.0, 0.05],     # low conf -> skipped
+        ], np.float32)
+        out = draw_keypoints(img, kp)
+        assert out[10, 10].any()          # the valid point drew
+        assert not out[20, 20].any()

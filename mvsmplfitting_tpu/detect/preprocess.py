@@ -189,6 +189,12 @@ def heatmap_to_coords_integral(hms: jnp.ndarray, centers: jnp.ndarray,
 COCO_FLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8),
                    (9, 10), (11, 12), (13, 14), (15, 16))
 HALPE26_FLIP_PAIRS = COCO_FLIP_PAIRS + ((20, 21), (22, 23), (24, 25))
+# MPII's 16-joint set (`alphapose/datasets/mpii.py:36-40`).  All of the
+# reference's dataset classes are COCO-format json wrappers differing
+# only in joint count + these pair tables; the COCO train/eval datasets
+# here are joint-count generic, so pairs are the only per-set constant.
+MPII16_FLIP_PAIRS = ((0, 5), (1, 4), (2, 3),
+                     (10, 15), (11, 14), (12, 13))
 
 
 def flip_heatmap(hms: jnp.ndarray, joint_pairs=COCO_FLIP_PAIRS,

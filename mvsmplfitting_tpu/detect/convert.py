@@ -192,3 +192,83 @@ def convert_fastpose_sd(sd: Dict) -> Dict:
                               {"bn": _bn_stats(sd, f"{duc}.bn")}))
     t.params["conv_out"] = _conv_b(sd, "conv_out")
     return {"params": t.params, "batch_stats": t.stats}
+
+
+def convert_hrnet(path: str, stage_modules=(1, 4, 3)) -> Dict:
+    """Convert an AlphaPose PoseHRNet checkpoint to flax variables."""
+    return convert_hrnet_sd(load_torch_state_dict(path), stage_modules)
+
+
+def convert_hrnet_sd(sd: Dict, stage_modules=(1, 4, 3)) -> Dict:
+    """PoseHighResolutionNet state_dict (`hrnet.py:270-470`) ->
+    `PoseHRNet` variables.  Name map: stem conv1/bn1+conv2/bn2 ->
+    stem1/2; layer1 Bottlenecks; transitionN branch convs; per-module
+    branches + fuse layers; final_layer."""
+    t = _Tree()
+
+    def cb(conv, bn):
+        return ({"conv": _conv(sd, conv), "bn": _bn(sd, bn)},
+                {"bn": _bn_stats(sd, bn)})
+
+    t.put(("stem1",), cb("conv1", "bn1"))
+    t.put(("stem2",), cb("conv2", "bn2"))
+    for b in range(4):
+        src = f"layer1.{b}"
+        dst = f"layer1_{b}"
+        t.put((dst, "conv1"), cb(src + ".conv1", src + ".bn1"))
+        t.put((dst, "conv2"), cb(src + ".conv2", src + ".bn2"))
+        t.params[dst]["conv3"] = _conv(sd, src + ".conv3")
+        t.params[dst]["bn3"] = _bn(sd, src + ".bn3")
+        t.stats[dst]["bn3"] = _bn_stats(sd, src + ".bn3")
+        if f"{src}.downsample.0.weight" in sd:
+            t.params[dst]["down_conv"] = _conv(sd, src + ".downsample.0")
+            t.params[dst]["down_bn"] = _bn(sd, src + ".downsample.1")
+            t.stats[dst]["down_bn"] = _bn_stats(sd,
+                                                src + ".downsample.1")
+
+    # Transition layers: existing-branch channel converts + new strided
+    # branches (`_make_transition_layer`; Nones for unchanged branches).
+    t.put(("t1_b0",), cb("transition1.0.0", "transition1.0.1"))
+    t.put(("t1_b1",), cb("transition1.1.0.0", "transition1.1.0.1"))
+    t.put(("t2_b2",), cb("transition2.2.0.0", "transition2.2.0.1"))
+    t.put(("t3_b3",), cb("transition3.3.0.0", "transition3.3.0.1"))
+
+    for si, (stage, nb) in enumerate(zip((2, 3, 4), (2, 3, 4))):
+        for m in range(stage_modules[si]):
+            src_m = f"stage{stage}.{m}"
+            dst_m = f"stage{stage}_m{m}"
+            for i in range(nb):
+                for blk in range(4):
+                    srcb = f"{src_m}.branches.{i}.{blk}"
+                    dstb = f"branch{i}_block{blk}"
+                    t.put((dst_m, dstb),
+                          ({"conv1": cb(srcb + ".conv1",
+                                        srcb + ".bn1")[0],
+                            "conv2": _conv(sd, srcb + ".conv2"),
+                            "bn2": _bn(sd, srcb + ".bn2")},
+                           {"conv1": cb(srcb + ".conv1",
+                                        srcb + ".bn1")[1],
+                            "bn2": _bn_stats(sd, srcb + ".bn2")}))
+            last = stage == 4 and m == stage_modules[si] - 1
+            for i in range(1 if last else nb):
+                for j in range(nb):
+                    if j > i:
+                        srcf = f"{src_m}.fuse_layers.{i}.{j}"
+                        t.params[dst_m][f"fuse{i}_{j}_conv"] = _conv(
+                            sd, srcf + ".0")
+                        t.params[dst_m][f"fuse{i}_{j}_bn"] = _bn(
+                            sd, srcf + ".1")
+                        t.stats[dst_m][f"fuse{i}_{j}_bn"] = _bn_stats(
+                            sd, srcf + ".1")
+                    elif j < i:
+                        for k in range(i - j):
+                            srcf = f"{src_m}.fuse_layers.{i}.{j}.{k}"
+                            t.params[dst_m][f"fuse{i}_{j}_d{k}_conv"] \
+                                = _conv(sd, srcf + ".0")
+                            t.params[dst_m][f"fuse{i}_{j}_d{k}_bn"] = \
+                                _bn(sd, srcf + ".1")
+                            t.stats[dst_m][f"fuse{i}_{j}_d{k}_bn"] = \
+                                _bn_stats(sd, srcf + ".1")
+
+    t.params["final"] = _conv_b(sd, "final_layer")
+    return {"params": t.params, "batch_stats": t.stats}

@@ -501,3 +501,82 @@ class TestFlipTest:
         est.flip_test = False
         kps_single = est.estimate(img, boxes)
         assert not np.allclose(kps, kps_single)
+
+
+class TestHRNetTorchParity:
+    def test_full_graph_matches_torch_random_weights(self, rng):
+        """Build the reference's PoseHighResolutionNet (random weights
+        + randomized BN running stats), convert the state_dict with
+        `convert_hrnet_sd`, compare full-graph activations."""
+        import importlib.util
+        import types
+
+        import torch
+
+        models_dir = ("/root/reference/alphapose_core/alphapose/"
+                      "models")
+        pkg = types.ModuleType("apx_models")
+        pkg.__path__ = [models_dir]
+        sys.modules.setdefault("apx_models", pkg)
+        builder = types.ModuleType("apx_models.builder")
+
+        class _Reg:
+            @staticmethod
+            def register_module(cls):
+                return cls
+
+        builder.SPPE = _Reg()
+        sys.modules["apx_models.builder"] = builder
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "apx_models.hrnet", f"{models_dir}/hrnet.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules["apx_models.hrnet"] = mod
+            spec.loader.exec_module(mod)
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference hrnet unavailable: {e}")
+
+        W = 32
+        cfg = {
+            "PRESET": {"NUM_JOINTS": 17},
+            "FINAL_CONV_KERNEL": 1,
+            "PRETRAINED_LAYERS": ["*"],
+            "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2,
+                       "BLOCK": "BASIC", "NUM_BLOCKS": [4, 4],
+                       "NUM_CHANNELS": [W, 2 * W],
+                       "FUSE_METHOD": "SUM"},
+            "STAGE3": {"NUM_MODULES": 4, "NUM_BRANCHES": 3,
+                       "BLOCK": "BASIC", "NUM_BLOCKS": [4, 4, 4],
+                       "NUM_CHANNELS": [W, 2 * W, 4 * W],
+                       "FUSE_METHOD": "SUM"},
+            "STAGE4": {"NUM_MODULES": 3, "NUM_BRANCHES": 4,
+                       "BLOCK": "BASIC", "NUM_BLOCKS": [4, 4, 4, 4],
+                       "NUM_CHANNELS": [W, 2 * W, 4 * W, 8 * W],
+                       "FUSE_METHOD": "SUM"},
+        }
+        torch.manual_seed(0)
+        tm = mod.PoseHighResolutionNet(**cfg)
+        # Randomize BN running stats so a stats-mapping bug shows up.
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+
+        from mvsmplfitting_tpu.detect.convert import convert_hrnet_sd
+        from mvsmplfitting_tpu.detect.hrnet import PoseHRNet
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_hrnet_sd(sd))
+        got = np.asarray(PoseHRNet(num_joints=17, width=W).apply(
+            variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -272,3 +272,67 @@ def convert_hrnet_sd(sd: Dict, stage_modules=(1, 4, 3)) -> Dict:
 
     t.params["final"] = _conv_b(sd, "final_layer")
     return {"params": t.params, "batch_stats": t.stats}
+
+
+def _deconv(sd, name):
+    """torch ConvTranspose2d (Cin, Cout, kH, kW) -> flax ConvTranspose
+    HWIO with the spatial flip (cross-correlation vs convolution)."""
+    w = sd[name + ".weight"]
+    return {"kernel": np.transpose(w[:, :, ::-1, ::-1],
+                                   (2, 3, 0, 1)).copy()}
+
+
+def _resnet_backbone(t, sd, dst_root, src_root,
+                     blocks=(3, 4, 6, 3), se=False):
+    """Reference `layers/Resnet.py` (or `SE_Resnet.py`) state_dict ->
+    the flax `ResNet50`/`SEResnet` param layout."""
+    t.put((dst_root, "stem"), ({"conv": _conv(sd, src_root + ".conv1"),
+                                "bn": _bn(sd, src_root + ".bn1")},
+                               {"bn": _bn_stats(sd, src_root + ".bn1")}))
+    for s, n in enumerate(blocks):
+        for b in range(n):
+            src = f"{src_root}.layer{s + 1}.{b}"
+            dst = f"layer{s + 1}_{b}"
+            t.put((dst_root, dst, "conv1"),
+                  ({"conv": _conv(sd, src + ".conv1"),
+                    "bn": _bn(sd, src + ".bn1")},
+                   {"bn": _bn_stats(sd, src + ".bn1")}))
+            t.put((dst_root, dst, "conv2"),
+                  ({"conv": _conv(sd, src + ".conv2"),
+                    "bn": _bn(sd, src + ".bn2")},
+                   {"bn": _bn_stats(sd, src + ".bn2")}))
+            t.params[dst_root][dst]["conv3"] = _conv(sd, src + ".conv3")
+            t.params[dst_root][dst]["bn3"] = _bn(sd, src + ".bn3")
+            t.stats[dst_root][dst]["bn3"] = _bn_stats(sd, src + ".bn3")
+            if se:
+                t.params[dst_root][dst]["se"] = {
+                    "fc1": _dense(sd, src + ".se.fc.0"),
+                    "fc2": _dense(sd, src + ".se.fc.2"),
+                }
+            if f"{src}.downsample.0.weight" in sd:
+                t.params[dst_root][dst]["down_conv"] = _conv(
+                    sd, src + ".downsample.0")
+                t.params[dst_root][dst]["down_bn"] = _bn(
+                    sd, src + ".downsample.1")
+                t.stats[dst_root][dst]["down_bn"] = _bn_stats(
+                    sd, src + ".downsample.1")
+
+
+def convert_simplepose(path: str) -> Dict:
+    """Convert an AlphaPose SimplePose checkpoint to flax variables."""
+    return convert_simplepose_sd(load_torch_state_dict(path))
+
+
+def convert_simplepose_sd(sd: Dict) -> Dict:
+    """`SimplePose` state_dict (`models/simplepose.py`: ResNet-50 +
+    deconv_layers Sequential + final_layer) -> flax variables."""
+    t = _Tree()
+    _resnet_backbone(t, sd, "preact", "preact")
+    for i, idx in enumerate((0, 3, 6)):       # Sequential positions
+        t.params[f"deconv{i + 1}"] = _deconv(
+            sd, f"deconv_layers.{idx}")
+        t.params[f"bn{i + 1}"] = _bn(sd, f"deconv_layers.{idx + 1}")
+        t.stats[f"bn{i + 1}"] = _bn_stats(sd,
+                                          f"deconv_layers.{idx + 1}")
+    t.params["final"] = _conv_b(sd, "final_layer")
+    return {"params": t.params, "batch_stats": t.stats}

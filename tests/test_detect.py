@@ -580,3 +580,73 @@ class TestHRNetTorchParity:
             variables, jnp.asarray(x)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+class TestSimplePoseTorchParity:
+    def test_full_graph_matches_torch_random_weights(self, rng):
+        """Reference ResNet-50 (`layers/Resnet.py`) + the exact
+        `_make_deconv_layer` stack + final conv, random weights +
+        randomized BN stats, converted with `convert_simplepose_sd`."""
+        import importlib.util
+        import types
+
+        import torch
+        import torch.nn as tnn
+
+        path = ("/root/reference/alphapose_core/alphapose/models/"
+                "layers/Resnet.py")
+        spec = importlib.util.spec_from_file_location("apx_resnet",
+                                                      path)
+        rmod = importlib.util.module_from_spec(spec)
+        sys.modules["apx_resnet"] = rmod
+        spec.loader.exec_module(rmod)
+
+        J, D = 17, 64   # narrow deconvs for speed
+
+        class TSimplePose(tnn.Module):
+            """`simplepose.py:13-60` minus the torchvision pretrained
+            download (zero egress here); same child names."""
+
+            def __init__(self):
+                super().__init__()
+                self.preact = rmod.ResNet("resnet50")
+                self.deconv_layers = tnn.Sequential(
+                    tnn.ConvTranspose2d(2048, D, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(D), tnn.ReLU(True),
+                    tnn.ConvTranspose2d(D, D, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(D), tnn.ReLU(True),
+                    tnn.ConvTranspose2d(D, D, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(D), tnn.ReLU(True))
+                self.final_layer = tnn.Conv2d(D, J, 1)
+
+            def forward(self, x):
+                return self.final_layer(
+                    self.deconv_layers(self.preact(x)))
+
+        torch.manual_seed(0)
+        tm = TSimplePose()
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+
+        from mvsmplfitting_tpu.detect.convert import \
+            convert_simplepose_sd
+        from mvsmplfitting_tpu.detect.simplepose import SimplePose
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_simplepose_sd(sd))
+        got = np.asarray(SimplePose(
+            num_joints=J, deconv_filters=(D, D, D)).apply(
+            variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

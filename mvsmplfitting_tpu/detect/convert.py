@@ -336,3 +336,43 @@ def convert_simplepose_sd(sd: Dict) -> Dict:
                                           f"deconv_layers.{idx + 1}")
     t.params["final"] = _conv_b(sd, "final_layer")
     return {"params": t.params, "batch_stats": t.stats}
+
+
+def convert_hardnet(path: str) -> Dict:
+    """Convert an AlphaPose HarDNet-68 pose checkpoint to flax."""
+    return convert_hardnet_sd(load_torch_state_dict(path))
+
+
+def convert_hardnet_sd(sd: Dict) -> Dict:
+    """`HarDNetPose` state_dict (`models/hardnet.py:397-531`, arch 68)
+    -> `HarDNetPose` flax variables.  Base Sequential indices for
+    arch 68: convs 0-1, pool 2, blocks 3/6/8/11, projs 4/7/9, pools
+    5/10 (`HarDNetBase.__init__`, `hardnet.py:330-360`)."""
+    t = _Tree()
+
+    def cl(dst_path, src):
+        t.put(dst_path, ({"conv": _conv(sd, src + ".conv"),
+                          "norm": _bn(sd, src + ".norm")},
+                         {"norm": _bn_stats(sd, src + ".norm")}))
+
+    def blk(dst, src, n_layers):
+        for i in range(n_layers):
+            cl((dst, f"l{i}"), f"{src}.layers.{i}")
+
+    cl(("base0",), "base.0")
+    cl(("base1",), "base.1")
+    blk("blk0", "base.3", 8)
+    cl(("proj0",), "base.4")
+    blk("blk1", "base.6", 16)
+    cl(("proj1",), "base.7")
+    blk("blk2", "base.8", 16)
+    cl(("proj2",), "base.9")
+    blk("blk3", "base.11", 16)
+    cl(("last_proj",), "last_proj")
+    blk("last_blk", "last_blk", 8)
+    for i, n in enumerate((8, 8, 4)):
+        cl((f"up_proj{i}",), f"conv1x1_up.{i}")
+        blk(f"up_blk{i}", f"denseBlocksUp.{i}", n)
+    t.params["head0"] = _conv_b(sd, "conv_out.0")
+    t.params["head1"] = _conv_b(sd, "conv_out.2")
+    return {"params": t.params, "batch_stats": t.stats}

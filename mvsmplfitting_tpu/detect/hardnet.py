@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -98,9 +97,25 @@ def _avg_pool(x, k, s, pad=0):
 
 
 def _resize_bilinear(x, hw):
-    # align_corners=True bilinear, like the reference's interpolate.
-    return jax.image.resize(x, (x.shape[0],) + hw + (x.shape[-1],),
-                            method="bilinear")
+    """align_corners=True bilinear, exactly the reference's
+    `F.interpolate(..., mode='bilinear', align_corners=True)`
+    (`hardnet.py:382-387,517-520`).  jax.image.resize is half-pixel
+    (align_corners=False), so this is a separable corner-aligned
+    gather instead."""
+    N, H, W, C = x.shape
+    h, w = hw
+    if (h, w) == (H, W):
+        return x
+    ys = jnp.linspace(0.0, H - 1.0, h)
+    xs = jnp.linspace(0.0, W - 1.0, w)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wy = (ys - y0)[None, :, None, None]
+    x = x[:, y0] * (1.0 - wy) + x[:, y1] * wy
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wx = (xs - x0)[None, None, :, None]
+    return x[:, :, x0] * (1.0 - wx) + x[:, :, x1] * wx
 
 
 # HarDNet-68 tables (`hardnet.py:306-317,421-431`).

@@ -650,3 +650,74 @@ class TestSimplePoseTorchParity:
             variables, jnp.asarray(x)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+class TestHarDNetTorchParity:
+    def test_full_graph_matches_torch_random_weights(self, rng):
+        """Load the reference's `hardnet.py` standalone (builder/layers
+        stubbed), build HarDNetPose-68 with random weights + randomized
+        BN stats, convert with `convert_hardnet_sd`, compare the full
+        graph — including the align_corners=True decoder resizes."""
+        import importlib.util
+        import types
+
+        import torch
+
+        models_dir = ("/root/reference/alphapose_core/alphapose/"
+                      "models")
+        pkg = types.ModuleType("apx_hn")
+        pkg.__path__ = [models_dir]
+        sys.modules["apx_hn"] = pkg
+        builder = types.ModuleType("apx_hn.builder")
+
+        class _Reg:
+            @staticmethod
+            def register_module(cls):
+                return cls
+
+        builder.SPPE = _Reg()
+        sys.modules["apx_hn.builder"] = builder
+        layers_pkg = types.ModuleType("apx_hn.layers")
+        layers_pkg.__path__ = [models_dir + "/layers"]
+        sys.modules["apx_hn.layers"] = layers_pkg
+        for stub in ("Resnet", "SE_Resnet", "ShuffleResnet"):
+            m = types.ModuleType(f"apx_hn.layers.{stub}")
+            for cls in ("ResNet", "SEResnet", "ShuffleResnet"):
+                setattr(m, cls, object)
+            sys.modules[f"apx_hn.layers.{stub}"] = m
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "apx_hn.hardnet", f"{models_dir}/hardnet.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules["apx_hn.hardnet"] = mod
+            spec.loader.exec_module(mod)
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference hardnet unavailable: {e}")
+
+        cfg = {"DOWN_RATIO": 4, "TRT": False, "NUM_LAYERS": 68,
+               "PRESET": {"NUM_JOINTS": 17}, "FINAL_CONV_KERNEL": 1}
+        torch.manual_seed(0)
+        tm = mod.HarDNetPose(**cfg)
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+
+        from mvsmplfitting_tpu.detect.convert import convert_hardnet_sd
+        from mvsmplfitting_tpu.detect.hardnet import HarDNetPose
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_hardnet_sd(sd))
+        got = np.asarray(HarDNetPose(num_joints=17).apply(
+            variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)

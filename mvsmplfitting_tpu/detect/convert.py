@@ -376,3 +376,33 @@ def convert_hardnet_sd(sd: Dict) -> Dict:
     t.params["head0"] = _conv_b(sd, "conv_out.0")
     t.params["head1"] = _conv_b(sd, "conv_out.2")
     return {"params": t.params, "batch_stats": t.stats}
+
+
+def convert_fastpose_duc(path: str, num_convs=(4, 2, 1),
+                         se: bool = False) -> Dict:
+    """Convert a FastPose_DUC checkpoint to flax variables."""
+    return convert_fastpose_duc_sd(load_torch_state_dict(path),
+                                   num_convs, se)
+
+
+def convert_fastpose_duc_sd(sd: Dict, num_convs=(4, 2, 1),
+                            se: bool = False) -> Dict:
+    """`FastPose_DUC` state_dict (`models/fastpose_duc.py:15-98`) ->
+    `FastPoseDUC` variables.  Each duc Sequential is [PixelShuffle,
+    (conv,bn,relu)x(NUM_CONV-1), conv,bn,relu]: convs at 1+3i."""
+    t = _Tree()
+    _resnet_backbone(t, sd, "preact", "preact", se=se)
+    for k, n in enumerate(num_convs):
+        dst = f"duc{k + 1}"
+        p = t.params.setdefault(dst, {})
+        s = t.stats.setdefault(dst, {})
+        for i in range(n - 1):
+            p[f"conv{i}"] = _conv(sd, f"{dst}.{1 + 3 * i}")
+            p[f"bn{i}"] = _bn(sd, f"{dst}.{2 + 3 * i}")
+            s[f"bn{i}"] = _bn_stats(sd, f"{dst}.{2 + 3 * i}")
+        last = 1 + 3 * (n - 1)
+        p["conv_out"] = _conv(sd, f"{dst}.{last}")
+        p["bn_out"] = _bn(sd, f"{dst}.{last + 1}")
+        s["bn_out"] = _bn_stats(sd, f"{dst}.{last + 1}")
+    t.params["conv_out"] = _conv_b(sd, "conv_out")
+    return {"params": t.params, "batch_stats": t.stats}

@@ -106,3 +106,82 @@ class TestFullModels:
                         jnp.float32)
         out = model.apply(model.init(jax.random.PRNGKey(1), x), x)
         assert out.shape == (1, 16, 16, 4)
+
+
+class TestDUCTorchParity:
+    def test_full_graph_matches_torch_random_weights(self):
+        """Reference ResNet-50 + the exact `_make_duc_stage`
+        Sequentials + conv_out head, converted with
+        `convert_fastpose_duc_sd` (`fastpose_duc.py:15-98`)."""
+        import importlib.util
+        import sys
+
+        import torch
+        import torch.nn as tnn
+
+        path = ("/root/reference/alphapose_core/alphapose/models/"
+                "layers/Resnet.py")
+        spec = importlib.util.spec_from_file_location("apx_resnet2",
+                                                      path)
+        rmod = importlib.util.module_from_spec(spec)
+        sys.modules["apx_resnet2"] = rmod
+        spec.loader.exec_module(rmod)
+
+        def duc_stage(num_conv, inplanes, outplanes):
+            """Verbatim `_make_duc_stage` (`fastpose_duc.py:72-90`)."""
+            layers = [tnn.PixelShuffle(2)]
+            inplanes //= 4
+            for _ in range(num_conv - 1):
+                layers += [tnn.Conv2d(inplanes, inplanes, 3, padding=1,
+                                      bias=False),
+                           tnn.BatchNorm2d(inplanes, momentum=0.1),
+                           tnn.ReLU(True)]
+            layers += [tnn.Conv2d(inplanes, outplanes, 3, padding=1,
+                                  bias=False),
+                       tnn.BatchNorm2d(outplanes, momentum=0.1),
+                       tnn.ReLU(True)]
+            return tnn.Sequential(*layers)
+
+        J = 17
+        ncs = (2, 2, 1)   # smaller than the zoo 4/2/1 for speed
+
+        class TFastPoseDUC(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.preact = rmod.ResNet("resnet50")
+                self.duc1 = duc_stage(ncs[0], 2048, 1024)
+                self.duc2 = duc_stage(ncs[1], 1024, 512)
+                self.duc3 = duc_stage(ncs[2], 512, 256)
+                self.conv_out = tnn.Conv2d(256, J, 3, 1, 1)
+
+            def forward(self, x):
+                return self.conv_out(
+                    self.duc3(self.duc2(self.duc1(self.preact(x)))))
+
+        torch.manual_seed(0)
+        tm = TFastPoseDUC()
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+
+        from mvsmplfitting_tpu.detect.convert import \
+            convert_fastpose_duc_sd
+        from mvsmplfitting_tpu.detect.fastpose_duc import FastPoseDUC
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_fastpose_duc_sd(sd, ncs))
+        got = np.asarray(FastPoseDUC(num_joints=J, num_convs=ncs
+                                     ).apply(variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -393,16 +393,43 @@ def convert_fastpose_duc_sd(sd: Dict, num_convs=(4, 2, 1),
     t = _Tree()
     _resnet_backbone(t, sd, "preact", "preact", se=se)
     for k, n in enumerate(num_convs):
-        dst = f"duc{k + 1}"
-        p = t.params.setdefault(dst, {})
-        s = t.stats.setdefault(dst, {})
-        for i in range(n - 1):
-            p[f"conv{i}"] = _conv(sd, f"{dst}.{1 + 3 * i}")
-            p[f"bn{i}"] = _bn(sd, f"{dst}.{2 + 3 * i}")
-            s[f"bn{i}"] = _bn_stats(sd, f"{dst}.{2 + 3 * i}")
-        last = 1 + 3 * (n - 1)
-        p["conv_out"] = _conv(sd, f"{dst}.{last}")
-        p["bn_out"] = _bn(sd, f"{dst}.{last + 1}")
-        s["bn_out"] = _bn_stats(sd, f"{dst}.{last + 1}")
+        _duc_stage(t, sd, f"duc{k + 1}", f"duc{k + 1}", n)
     t.params["conv_out"] = _conv_b(sd, "conv_out")
+    return {"params": t.params, "batch_stats": t.stats}
+
+
+def _duc_stage(t, sd, dst, src, n):
+    """One `_make_duc_stage` Sequential (`fastpose_duc.py:72-90`):
+    [PixelShuffle, (conv,bn,relu)x(n-1), conv,bn,relu] -> DUCStage."""
+    p = t.params.setdefault(dst, {})
+    s = t.stats.setdefault(dst, {})
+    for i in range(n - 1):
+        p[f"conv{i}"] = _conv(sd, f"{src}.{1 + 3 * i}")
+        p[f"bn{i}"] = _bn(sd, f"{src}.{2 + 3 * i}")
+        s[f"bn{i}"] = _bn_stats(sd, f"{src}.{2 + 3 * i}")
+    last = 1 + 3 * (n - 1)
+    p["conv_out"] = _conv(sd, f"{src}.{last}")
+    p["bn_out"] = _bn(sd, f"{src}.{last + 1}")
+    s["bn_out"] = _bn_stats(sd, f"{src}.{last + 1}")
+
+
+def convert_fastpose_duc_dense(path: str, num_convs=(4, 2, 1),
+                               se: bool = False) -> Dict:
+    """Convert a FastPose_DUC_Dense checkpoint to flax variables."""
+    return convert_fastpose_duc_dense_sd(load_torch_state_dict(path),
+                                         num_convs, se)
+
+
+def convert_fastpose_duc_dense_sd(sd: Dict, num_convs=(4, 2, 1),
+                                  se: bool = False) -> Dict:
+    """`FastPose_DUC_Dense` (`fastpose_duc_dense.py:14-135`): the base
+    and dense DUC chains are nested Sequentials `duc.{k}` /
+    `duc_dense.{k}`, heads `conv_out` / `conv_out_dense`."""
+    t = _Tree()
+    _resnet_backbone(t, sd, "preact", "preact", se=se)
+    for k, n in enumerate(num_convs):
+        _duc_stage(t, sd, f"duc{k + 1}", f"duc.{k}", n)
+        _duc_stage(t, sd, f"duc_dense{k + 1}", f"duc_dense.{k}", n)
+    t.params["conv_out"] = _conv_b(sd, "conv_out")
+    t.params["conv_out_dense"] = _conv_b(sd, "conv_out_dense")
     return {"params": t.params, "batch_stats": t.stats}

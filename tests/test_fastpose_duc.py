@@ -185,3 +185,86 @@ class TestDUCTorchParity:
                                      ).apply(variables, jnp.asarray(x)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_dense_full_graph_matches_torch(self):
+        """Dense variant: nested `duc.{k}` / `duc_dense.{k}`
+        Sequentials + dual heads (`fastpose_duc_dense.py:60-93`)."""
+        import importlib.util
+        import sys
+
+        import torch
+        import torch.nn as tnn
+
+        path = ("/root/reference/alphapose_core/alphapose/models/"
+                "layers/Resnet.py")
+        spec = importlib.util.spec_from_file_location("apx_resnet3",
+                                                      path)
+        rmod = importlib.util.module_from_spec(spec)
+        sys.modules["apx_resnet3"] = rmod
+        spec.loader.exec_module(rmod)
+
+        def duc_stage(num_conv, inplanes, outplanes):
+            layers = [tnn.PixelShuffle(2)]
+            inplanes //= 4
+            for _ in range(num_conv - 1):
+                layers += [tnn.Conv2d(inplanes, inplanes, 3, padding=1,
+                                      bias=False),
+                           tnn.BatchNorm2d(inplanes), tnn.ReLU(True)]
+            layers += [tnn.Conv2d(inplanes, outplanes, 3, padding=1,
+                                  bias=False),
+                       tnn.BatchNorm2d(outplanes), tnn.ReLU(True)]
+            return tnn.Sequential(*layers)
+
+        J, JD = 17, 26
+        ncs = (1, 1, 1)
+
+        class TDense(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.preact = rmod.ResNet("resnet50")
+                self.duc = tnn.Sequential(
+                    duc_stage(ncs[0], 2048, 1024),
+                    duc_stage(ncs[1], 1024, 512),
+                    duc_stage(ncs[2], 512, 256))
+                self.duc_dense = tnn.Sequential(
+                    duc_stage(ncs[0], 2048, 1024),
+                    duc_stage(ncs[1], 1024, 512),
+                    duc_stage(ncs[2], 512, 256))
+                self.conv_out = tnn.Conv2d(256, J, 3, 1, 1)
+                self.conv_out_dense = tnn.Conv2d(256, JD - J, 3, 1, 1)
+
+            def forward(self, x):
+                feat = self.preact(x)
+                return torch.cat([self.conv_out(self.duc(feat)),
+                                  self.conv_out_dense(
+                                      self.duc_dense(feat))], 1)
+
+        torch.manual_seed(0)
+        tm = TDense()
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+
+        from mvsmplfitting_tpu.detect.convert import \
+            convert_fastpose_duc_dense_sd
+        from mvsmplfitting_tpu.detect.fastpose_duc import \
+            FastPoseDUCDense
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_fastpose_duc_dense_sd(sd, ncs))
+        got = np.asarray(FastPoseDUCDense(
+            num_joints=J, num_joints_dense=JD, num_convs=ncs).apply(
+            variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -56,8 +56,9 @@ def main(argv=None) -> int:
         from ..detect.convert import convert_yolox
         det_params = convert_yolox(args.yolox_ckpt)
     if args.pose_ckpt:
-        from ..detect.convert import convert_fastpose
-        pose_params = convert_fastpose(args.pose_ckpt)
+        from ..detect.convert import POSE_CONVERTERS
+        key = args.pose_model.lower().replace("-", "_")
+        pose_params = POSE_CONVERTERS[key](args.pose_ckpt)
 
     dtype = jnp.bfloat16 if args.bf16 else None
     pipeline = KeypointPipeline(

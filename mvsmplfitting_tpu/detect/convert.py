@@ -433,3 +433,14 @@ def convert_fastpose_duc_dense_sd(sd: Dict, num_convs=(4, 2, 1),
     t.params["conv_out"] = _conv_b(sd, "conv_out")
     t.params["conv_out_dense"] = _conv_b(sd, "conv_out_dense")
     return {"params": t.params, "batch_stats": t.stats}
+
+
+# Zoo-name -> checkpoint converter (same keys as `zoo.POSE_MODELS`).
+POSE_CONVERTERS = {
+    "fastpose": convert_fastpose,
+    "simplepose": convert_simplepose,
+    "hrnet": convert_hrnet,
+    "hardnet": convert_hardnet,
+    "fastpose_duc": convert_fastpose_duc,
+    "fastpose_duc_dense": convert_fastpose_duc_dense,
+}

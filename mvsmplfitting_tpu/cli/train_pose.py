@@ -87,6 +87,8 @@ def main(argv=None):
                         total_epochs=args.epochs,
                         milestones=milestones, factor=args.lr_factor)
     tx = make_optimizer(args.optimizer, sched)
+    sched_j = jax.jit(sched)   # eager jnp per log line would
+    # round-trip the TPU tunnel op by op
     variables = model.init(jax.random.PRNGKey(args.seed),
                            jnp.zeros((1, *hw, 3)))
     state = init_train_state(variables, tx)
@@ -116,7 +118,7 @@ def main(argv=None):
             if step % 20 == 1 or (args.max_steps
                                   and step >= args.max_steps):
                 loss = float(loss)
-                lr_now = float(sched(step))
+                lr_now = float(sched_j(step))
                 print(f"epoch {epoch} step {step} loss {loss:.6f} "
                       f"lr {lr_now:.2e} "
                       f"({step * args.batch / (time.time() - t0):.1f} "

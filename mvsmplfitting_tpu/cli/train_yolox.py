@@ -82,6 +82,8 @@ def main(argv=None):
                         warmup_epochs=args.warmup_epochs,
                         no_aug_epochs=args.no_aug_epochs,
                         min_lr_ratio=args.min_lr_ratio)
+    sched_j = jax.jit(sched)   # see train_pose: no eager jnp on the
+    # TPU path
     variables = model.init(jax.random.PRNGKey(args.seed),
                            jnp.zeros((1, *hw, 3)))
     tx = make_optimizer("sgd", sched, params=variables["params"],
@@ -117,7 +119,7 @@ def main(argv=None):
             if step % 10 == 1 or (args.max_steps
                                   and step >= args.max_steps):
                 loss = float(loss)
-                lr_now = float(sched(step))
+                lr_now = float(sched_j(step))
                 print(f"epoch {epoch} step {step} loss {loss:.4f} "
                       f"num_fg {float(aux['num_fg']):.0f} "
                       f"lr {lr_now:.2e} "

@@ -120,6 +120,8 @@ def flip_joints(joints: np.ndarray, vis: np.ndarray, width: int,
     v = np.asarray(vis, np.float32).copy()
     j[:, 0] = width - j[:, 0] - 1.0
     for a, b in pairs:
+        if a >= len(j) or b >= len(j):
+            continue      # pair table wider than this skeleton
         j[[a, b]] = j[[b, a]]
         v[[a, b]] = v[[b, a]]
     j *= v[:, None]

@@ -186,7 +186,7 @@ class CocoPoseTrainDataset:
         import cv2
 
         from .augment import pose_train_sample
-        from .train import heatmap_targets
+        from .train import heatmap_targets_np
 
         order = self.rng.permutation(len(self.entries))
         H, W = self.input_size
@@ -209,7 +209,7 @@ class CocoPoseTrainDataset:
                     self.rng, img[..., ::-1].astype(np.float32) / 255.0,
                     np.asarray([x, y, x + w, y + h], np.float32),
                     e["joints"], e["vis"], self.aug)
-                t, tw = heatmap_targets(j_t, v_t, (Hm, Wm), (H, W),
+                t, tw = heatmap_targets_np(j_t, v_t, (Hm, Wm), (H, W),
                                         self.sigma)
                 imgs[i] = crop
                 targets[i] = np.transpose(np.asarray(t), (1, 2, 0))

@@ -203,6 +203,44 @@ def heatmap_targets(joints_xy: jnp.ndarray, joints_vis: jnp.ndarray,
     return target, w[:, None]
 
 
+def heatmap_targets_np(joints_xy, joints_vis, heatmap_hw, input_hw,
+                       sigma: float = 2.0):
+    """Numpy mirror of `heatmap_targets` for HOST dataloaders.
+
+    Identical math (tested equal); the jnp version dispatched eagerly
+    per sample would round-trip the TPU tunnel from inside the data
+    loop — the data path must stay on the host.
+    """
+    import numpy as np
+
+    H, W = heatmap_hw
+    stride_x = input_hw[1] / W
+    stride_y = input_hw[0] / H
+    tmp = int(sigma * 3)
+    joints_xy = np.asarray(joints_xy, np.float32)
+    joints_vis = np.asarray(joints_vis, np.float32)
+
+    mu_x = np.trunc(joints_xy[:, 0] / stride_x + 0.5)
+    mu_y = np.trunc(joints_xy[:, 1] / stride_y + 0.5)
+    ul_x, ul_y = mu_x - tmp, mu_y - tmp
+    br_x, br_y = mu_x + tmp + 1, mu_y + tmp + 1
+    oob = (ul_x >= W) | (ul_y >= H) | (br_x < 0) | (br_y < 0)
+    w = np.where(oob, 0.0, joints_vis).astype(np.float32)
+
+    xs = np.arange(W, dtype=np.float32)
+    ys = np.arange(H, dtype=np.float32)
+    gx = np.exp(-((xs[None, :] - mu_x[:, None]) ** 2)
+                / (2.0 * sigma ** 2))
+    gy = np.exp(-((ys[None, :] - mu_y[:, None]) ** 2)
+                / (2.0 * sigma ** 2))
+    in_x = (xs[None, :] >= ul_x[:, None]) & (xs[None, :] < br_x[:, None])
+    in_y = (ys[None, :] >= ul_y[:, None]) & (ys[None, :] < br_y[:, None])
+    g = (gy * in_y)[:, :, None] * (gx * in_x)[:, None, :]
+    target = np.where((w > 0.5)[:, None, None], g, 0.0
+                      ).astype(np.float32)
+    return target, w[:, None]
+
+
 def pose_heatmap_loss(pred: jnp.ndarray, target: jnp.ndarray,
                       target_weight: jnp.ndarray) -> jnp.ndarray:
     """``0.5 * MSELoss(pred * mask, target * mask)`` — the masked MSE

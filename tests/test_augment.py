@@ -291,3 +291,14 @@ class TestMosaic:
         out = yolox_losses(jnp.asarray(decoded),
                            jnp.asarray(padded[None]), hw)
         assert np.isfinite(float(out["total"]))
+
+
+def test_flip_joints_narrow_skeleton():
+    """Pair tables wider than the skeleton are skipped, not an
+    IndexError (joint-count-generic datasets, e.g. 5-joint toys)."""
+    from mvsmplfitting_tpu.detect.augment import flip_joints
+    j = np.asarray([[1.0, 2.0]] * 5, np.float32)
+    v = np.ones(5, np.float32)
+    out, vout = flip_joints(j, v, width=10)
+    assert out.shape == (5, 2) and vout.shape == (5,)
+    np.testing.assert_allclose(out[:, 0], 10 - 1 - 1.0)

@@ -472,3 +472,22 @@ class TestTrainSteps:
         assert float(out["num_fg"]) == 1.0   # clamped
         assert np.isfinite(float(out["total"]))
         assert float(out["iou"]) == 0.0
+
+
+class TestHeatmapTargetsNp:
+    def test_numpy_mirror_matches_jnp(self):
+        """`heatmap_targets_np` (host dataloader path) must equal the
+        golden-tested jnp `heatmap_targets` bit for bit."""
+        from mvsmplfitting_tpu.detect.train import (heatmap_targets,
+                                                    heatmap_targets_np)
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            J = int(rng.integers(3, 20))
+            j = rng.uniform(-30, 280, (J, 2)).astype(np.float32)
+            v = (rng.uniform(0, 1, J) > 0.3).astype(np.float32)
+            tj, wj = heatmap_targets(jnp.asarray(j), jnp.asarray(v),
+                                     (64, 48), (256, 192), 2.0)
+            tn, wn = heatmap_targets_np(j, v, (64, 48), (256, 192),
+                                        2.0)
+            np.testing.assert_allclose(np.asarray(tj), tn, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(wj), wn, atol=0)

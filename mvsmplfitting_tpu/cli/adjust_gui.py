@@ -176,56 +176,93 @@ class AdjustApp:
         self.init_result = self.result
         # Editable copies (image-space keypoints per view).
         self.keypoints = np.asarray(frame.keypoints[:, 0]).copy()
-        self.override = None           # SMPLParams nudge target
+        # Nudge override: the EFFECTIVE full state the user is editing —
+        # params plus the decoded 69-dim body pose (under VPoser the
+        # fitted pose lives in result.body_pose, NOT params.body_pose,
+        # which pack/unpack keep at zeros).
+        self.override = None      # {"params": SMPLParams, "body_pose"}
         self.lock = threading.Lock()
+
+    def _effective(self):
+        """(params, body_pose) the user currently sees."""
+        if self.override is not None:
+            return self.override["params"], self.override["body_pose"]
+        return self.result.params, np.asarray(self.result.body_pose)
 
     # -- reference keyboardCall semantics (`utils.py:504-572`) --------
     def nudge(self, field: str, index: int, delta: float):
+        """Clamps follow the reference: pose within +-0.5 and
+        orient/transl within +-1 of the ORIGINAL fit, betas in the
+        absolute [-10, 10] band (`utils.py:508-514`) — bounds anchored
+        to the initial solution, not the moving value."""
         import jax.numpy as jnp
-        base = self.override if self.override is not None \
-            else self.result.params
-        if field == "body_pose":
-            bp = np.asarray(self.result.body_pose
-                            if self.override is None
-                            else base.body_pose).copy()
-            bp[index] = np.clip(bp[index] + delta, bp[index] - 0.5,
-                                bp[index] + 0.5)
-            self.override = base.replace(body_pose=jnp.asarray(bp))
-            return
-        arr = np.atleast_1d(np.asarray(getattr(base, field))).copy()
-        limits = {"betas": 10.0, "global_orient": 1.0, "transl": 1.0}
-        lim = limits.get(field, 10.0)
-        arr[index] = np.clip(arr[index] + delta, arr[index] - lim,
-                             arr[index] + lim)
-        val = jnp.asarray(arr if arr.size > 1 else arr[0])
-        self.override = base.replace(**{field: val})
+        with self.lock:
+            params, bp = self._effective()
+            bp = np.asarray(bp).copy()
+            if field == "body_pose":
+                ref = float(np.asarray(
+                    self.init_result.body_pose)[index])
+                bp[index] = np.clip(bp[index] + delta,
+                                    ref - 0.5, ref + 0.5)
+                self.override = {"params": params, "body_pose": bp}
+                return
+            arr = np.atleast_1d(
+                np.asarray(getattr(params, field))).copy()
+            if field == "betas":
+                lo, hi = -10.0, 10.0
+            else:               # global_orient / transl: original +-1
+                ref = np.atleast_1d(np.asarray(
+                    getattr(self.init_result.params, field)))
+                lo, hi = ref[index] - 1.0, ref[index] + 1.0
+            arr[index] = np.clip(arr[index] + delta, lo, hi)
+            val = jnp.asarray(arr if arr.size > 1 else arr[0])
+            self.override = {"params": params.replace(**{field: val}),
+                             "body_pose": bp}
 
     def reset(self):
-        self.override = None
-        self.result = self.init_result
-        self.keypoints = np.asarray(self.frame.keypoints[:, 0]).copy()
+        with self.lock:
+            self.override = None
+            self.result = self.init_result
+            self.keypoints = np.asarray(
+                self.frame.keypoints[:, 0]).copy()
 
     def set_keypoint(self, view: int, joint: int, x: float, y: float):
         s = self._scale(view)
-        self.keypoints[view, joint, 0] = x / s
-        self.keypoints[view, joint, 1] = y / s
-        self.keypoints[view, joint, 2] = max(
-            float(self.keypoints[view, joint, 2]), 0.9)
+        with self.lock:
+            self.keypoints[view, joint, 0] = x / s
+            self.keypoints[view, joint, 1] = y / s
+            self.keypoints[view, joint, 2] = max(
+                float(self.keypoints[view, joint, 2]), 0.9)
 
     def refit(self):
         import jax.numpy as jnp
 
         from ..fitting.adjust import refit_with_observations
 
-        kp = jnp.asarray(self.keypoints)
-        new_obs = self.obs.replace(gt2d=kp[..., :2], conf=kp[..., 2])
         with self.lock:
+            kp = jnp.asarray(self.keypoints)
+            new_obs = self.obs.replace(gt2d=kp[..., :2],
+                                       conf=kp[..., 2])
+            prev = self.result
+            params_override = None
+            if self.override is not None:
+                params_override = self.override["params"]
+                bp = jnp.asarray(self.override["body_pose"])
+                if self.sess.fit_config.spec.use_vposer:
+                    # pack() ignores params.body_pose under VPoser; the
+                    # pose edit warm-starts through the encoder instead.
+                    from ..models.vposer import encode_mean
+                    prev = prev.replace(
+                        z=encode_mean(self.sess.vposer, bp))
+                else:
+                    params_override = params_override.replace(
+                        body_pose=bp)
             self.result = refit_with_observations(
                 self.sess.fit_config, self.sess.assets,
-                self.sess.cameras, new_obs, self.result,
+                self.sess.cameras, new_obs, prev,
                 vposer_w=self.sess.vposer, gmm=self.sess.gmm,
                 img_height=self.img_h,
-                params_override=self.override)
+                params_override=params_override)
             self.override = None
 
     def _scale(self, view: int) -> float:
@@ -239,11 +276,10 @@ class AdjustApp:
         from ..models.smpl import smpl_forward
         from ..viz.overlay import render_mesh_overlay
 
-        params = self.override if self.override is not None \
-            else self.result.params
-        body_pose = (np.asarray(self.override.body_pose)
-                     if self.override is not None
-                     else np.asarray(self.result.body_pose))
+        with self.lock:
+            params, body_pose = self._effective()
+            keypoints = self.keypoints.copy()
+            loss = float(self.result.loss)
         verts, _ = smpl_forward(self.sess.assets, params,
                                 jnp.asarray(body_pose))
         verts = np.asarray(verts)
@@ -272,23 +308,25 @@ class AdjustApp:
                 "img": base64.b64encode(buf.tobytes()).decode(),
                 "width": img.shape[1], "height": img.shape[0],
                 "keypoints": [[float(x * s), float(y * s), float(c)]
-                              for x, y, c in self.keypoints[v]],
+                              for x, y, c in keypoints[v]],
             })
-        return {"views": views, "loss": float(self.result.loss),
+        return {"views": views, "loss": loss,
                 "transl": np.asarray(params.transl).tolist(),
                 "scale": float(np.asarray(params.scale))}
 
     def save(self) -> str:
         from ..data.results import FitOutputs, save_result_pkl
 
+        with self.lock:
+            result = self.result
         out = FitOutputs(
-            betas=np.asarray(self.result.params.betas),
-            global_orient=np.asarray(self.result.params.global_orient),
-            transl=np.asarray(self.result.params.transl),
-            scale=np.asarray(self.result.params.scale),
-            body_pose=np.asarray(self.result.body_pose),
-            pose_embedding=np.asarray(self.result.z),
-            loss=float(self.result.loss))
+            betas=np.asarray(result.params.betas),
+            global_orient=np.asarray(result.params.global_orient),
+            transl=np.asarray(result.params.transl),
+            scale=np.asarray(result.params.scale),
+            body_pose=np.asarray(result.body_pose),
+            pose_embedding=np.asarray(result.z),
+            loss=float(result.loss))
         path = os.path.join(self.cfg.output_folder, "adjusted",
                             self.frame.serial, self.frame.frame_name,
                             "000.pkl")
@@ -349,6 +387,8 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--frame", type=str, default=None,
                    help="serial/frame_name (default: first frame)")
+    p.add_argument("--no_browser", action="store_true",
+                   help="don't try to open a local browser tab")
     args = p.parse_args(argv)
 
     from ..config import load_config
@@ -370,6 +410,12 @@ def main(argv=None) -> int:
           f"(loss {float(app.result.loss):.2f})")
     server = ThreadingHTTPServer(("127.0.0.1", args.port),
                                  make_handler(app))
+    if not args.no_browser:
+        try:
+            import webbrowser
+            webbrowser.open(f"http://127.0.0.1:{args.port}/")
+        except Exception:
+            pass            # headless host: the URL above still works
     server.serve_forever()
     return 0
 

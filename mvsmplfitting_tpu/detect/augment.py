@@ -361,7 +361,9 @@ def augment_hsv(rng: np.random.Generator, img: np.ndarray,
                        cv2.COLOR_RGB2HSV)
     hsv[..., 0] = (hsv[..., 0] / 2.0 * r[0]) % 180.0 * 2.0  # cv2 H/2
     hsv[..., 1] = np.clip(hsv[..., 1] * r[1], 0, 1)
-    hsv[..., 2] = np.clip(hsv[..., 2] * r[2] / 255.0, 0, 1) * 255.0
+    # V is in [0,1] here (float cvtColor); the reference's uint8 LUT is
+    # clip(x*r, 0, 255) — saturate at 1.0, NOT at the unreachable 255.
+    hsv[..., 2] = np.clip(hsv[..., 2] * r[2], 0, 1)
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * 255.0
 
 

@@ -102,15 +102,33 @@ def load_coco_results(path: str) -> Dict[int, dict]:
 def evaluate_coco_map(ann_path: str,
                       results: Union[str, Dict[int, dict]],
                       sigmas: Optional[np.ndarray] = None) -> float:
-    """OKS mAP of a results file/dict against a GT annotation file."""
+    """OKS mAP of a results file/dict against a GT annotation file.
+
+    pycocotools protocol: the evaluated image set is EVERY image listed
+    in the GT json (not just annotated ones) — detections on listed but
+    annotation-free images count as false positives in the score-sorted
+    PR sweep; detections on images absent from the GT json are ignored.
+    """
     gt = load_coco_annotations(ann_path)
     if isinstance(results, str):
         results = load_coco_results(results)
+    with open(ann_path) as f:
+        listed = [int(im["id"])
+                  for im in json.load(f).get("images", [])]
+    image_ids = sorted(set(listed) | set(gt)) if listed else sorted(gt)
+
+    J = next((g["keypoints"].shape[1] for g in gt.values()), None)
+    if J is None:                   # no GT anywhere: infer J from preds
+        J = next((np.asarray(p["keypoints"]).shape[1]
+                  for p in results.values()
+                  if len(p["keypoints"])), 17)
+    empty_gt = {"keypoints": np.zeros((0, J, 2), np.float32),
+                "vis": np.zeros((0, J), bool),
+                "areas": np.zeros((0,), np.float32)}
+    empty_pred = {"keypoints": np.zeros((0, J, 2), np.float32),
+                  "scores": np.zeros((0,), np.float32)}
     preds, gts = [], []
-    for img, g in sorted(gt.items()):
-        gts.append(g)
-        preds.append(results.get(
-            img, {"keypoints": np.zeros((0,) + g["keypoints"].shape[1:],
-                                        np.float32),
-                  "scores": np.zeros((0,), np.float32)}))
+    for img in image_ids:
+        gts.append(gt.get(img, empty_gt))
+        preds.append(results.get(img, empty_pred))
     return keypoint_map(preds, gts, sigmas=sigmas)

@@ -89,9 +89,15 @@ class CocoPoseEvalDataset:
         return os.path.join(self.img_root, name)
 
     def __iter__(self) -> Iterator[PoseEvalBatch]:
+        # HOST-side crops (cv2 warpAffine through the same
+        # center/scale affine as `preprocess.crop_affine`): per-sample
+        # eager jnp math here would round-trip the TPU tunnel once per
+        # annotation — the dataloader stays numpy, the device only sees
+        # the finished fixed-shape batch.
         import cv2
 
-        from .preprocess import bbox_to_center_scale, crop_affine
+        from .augment import get_affine_transform, warp_affine
+        from .preprocess import bbox_to_center_scale
 
         H, W = self.input_size
         cache_path, cache_img = None, None
@@ -114,10 +120,9 @@ class CocoPoseEvalDataset:
                 x, y, w, h = e["bbox"]
                 box = np.asarray([[x, y, x + w, y + h]], np.float32)
                 c, s = bbox_to_center_scale(box, W / H)
-                import jax.numpy as jnp
-                img = jnp.asarray(
-                    cache_img[..., ::-1].astype(np.float32) / 255.0)
-                crops[i] = np.asarray(crop_affine(img, c, s, (H, W))[0])
+                img = cache_img[..., ::-1].astype(np.float32) / 255.0
+                trans = get_affine_transform(c[0], s[0], 0.0, (W, H))
+                crops[i] = warp_affine(img, trans, (W, H))
                 centers[i], scales[i] = c[0], s[0]
                 ids[i] = e["image_id"]
                 scores[i] = e["score"]

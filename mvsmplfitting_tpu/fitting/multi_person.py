@@ -122,10 +122,14 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
         return jnp.concatenate([rows, coll_rows])
 
     mask = jnp.tile(E.free_mask(solo_spec), P)
+    # speculative=False always: the stiff collision refinement degrades
+    # badly under speculative step judging (measured joint energy 3.2e8
+    # vs 1.6e8 lagged / 1.1e8 exact — docs/BENCH_NOTES.md), so the
+    # session's production default must not leak into this solve.
+    refine_lm = cfg.lm.replace(max_iters=15, speculative=False)
     if lagged_sdf:
         flat, loss = lm_fit(joint_residual, xs0.reshape(-1), mask,
-                            cfg.lm.replace(max_iters=15),
-                            aux_fn=grids_of)
+                            refine_lm, aux_fn=grids_of)
     else:
         from ..ops.sdf import collision_sums
 
@@ -140,7 +144,7 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
             return jnp.concatenate([rows, weights.coll * s / P])
 
         flat, loss = lm_fit(joint_residual_exact, xs0.reshape(-1),
-                            mask, cfg.lm.replace(max_iters=15))
+                            mask, refine_lm)
     xs = flat.reshape(P, n)
 
     def unpack_person(x):

@@ -251,6 +251,13 @@ class TestMosaic:
         out = augment_hsv(rng, img)
         assert out.shape == img.shape
         assert out.min() >= -1e-3 and out.max() <= 255.0 + 1e-3
+        # the value clip must BIND on bright pixels when the gain draw
+        # is > 1 (the reference's uint8 LUT saturates at 255); sweep
+        # seeds so both gain signs occur.
+        bright = np.full((8, 8, 3), 250.0, np.float32)
+        for seed in range(16):
+            o = augment_hsv(np.random.default_rng(seed), bright)
+            assert o.max() <= 255.0 + 1e-3, seed
 
         boxes = np.asarray([[4, 5, 20, 25, 0]], np.float32)
         m_img, m_boxes = mirror_boxes(np.random.default_rng(1), img,

@@ -156,3 +156,41 @@ class TestCocoIO:
         self._write_gt(ann, gt, rng)
         # Empty results dict: no detections anywhere.
         assert evaluate_coco_map(ann, {}) == pytest.approx(0.0)
+
+    def test_fp_on_annotation_free_listed_image(self, rng, tmp_path):
+        """Detections on a listed but annotation-free image are false
+        positives (pycocotools evaluates every GT-listed image); images
+        absent from the GT json are ignored."""
+        import json
+
+        from mvsmplfitting_tpu.detect.coco_io import evaluate_coco_map
+
+        gt = rng.uniform(20, 80, (1, 17, 2)).astype(np.float32)
+        kp = np.concatenate(
+            [gt[0], 2 * np.ones((17, 1), np.float32)], axis=1)
+        ann = str(tmp_path / "gt.json")
+        with open(ann, "w") as f:
+            json.dump({
+                "images": [{"id": 7, "file_name": "a.jpg"},
+                           {"id": 8, "file_name": "b.jpg"}],
+                "annotations": [{"image_id": 7, "id": 1,
+                                 "category_id": 1, "area": 2500.0,
+                                 "keypoints": kp.reshape(-1).tolist()}],
+            }, f)
+
+        perfect = {7: {"keypoints": gt.copy(),
+                       "scores": np.asarray([0.8])}}
+        assert evaluate_coco_map(ann, perfect) == pytest.approx(1.0)
+
+        # A HIGHER-scored spurious detection on the empty image 8
+        # outranks the TP in the PR sweep -> mAP drops.
+        with_fp = {**perfect,
+                   8: {"keypoints": gt + 300.0,
+                       "scores": np.asarray([0.95])}}
+        assert evaluate_coco_map(ann, with_fp) < 0.75
+
+        # Image 99 is not in the GT json at all: ignored, mAP stays 1.
+        outside = {**perfect,
+                   99: {"keypoints": gt + 300.0,
+                        "scores": np.asarray([0.95])}}
+        assert evaluate_coco_map(ann, outside) == pytest.approx(1.0)

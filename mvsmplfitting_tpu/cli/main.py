@@ -126,6 +126,10 @@ def run_multi_person(cfg, sess, result_root, mesh_root,
               f"{[round(float(l), 1) for l, m in zip(losses, live) if m]}"
               f" coll {np.round(np.asarray(coll_sums), 3).tolist()} "
               f"in {time.time() - t0:.2f}s")
+        verts_people = None
+        if cfg.save_images:
+            verts_people = np.zeros(
+                (P, sess.assets.v_template.shape[0], 3), np.float32)
         for p in range(P):
             if not live[p]:
                 continue
@@ -142,15 +146,26 @@ def run_multi_person(cfg, sess, result_root, mesh_root,
                 loss=float(person.loss))
             saved = save_result_pkl(
                 os.path.join(frame_dir, f"{p:03d}.pkl"), out)
-            if cfg.save_meshes:
+            if cfg.save_meshes or cfg.save_images:
                 final_params = person.params.replace(
                     body_pose=jnp.asarray(saved["body_pose"][0]),
                     global_orient=jnp.asarray(saved["pose"][0, :3]))
                 verts, _ = smpl_forward(sess.assets, final_params)
-                save_obj(os.path.join(mesh_root, frame.serial,
-                                      frame.frame_name, f"{p:03d}.obj"),
-                         np.asarray(verts),
-                         np.asarray(sess.assets.faces))
+                if cfg.save_meshes:
+                    save_obj(os.path.join(mesh_root, frame.serial,
+                                          frame.frame_name,
+                                          f"{p:03d}.obj"),
+                             np.asarray(verts),
+                             np.asarray(sess.assets.faces))
+                if cfg.save_images:
+                    verts_people[p] = np.asarray(verts)
+        if cfg.save_images:
+            from ..viz.overlay import save_overlays_multi
+            save_overlays_multi(
+                os.path.join(image_root, frame.serial,
+                             frame.frame_name),
+                frame, sess.cameras, verts_people,
+                np.asarray(sess.assets.faces), live=live)
         n_frames += 1
     return n_frames
 

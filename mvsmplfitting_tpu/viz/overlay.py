@@ -41,12 +41,13 @@ def _project(rotation, translation, focal, center, points):
     return xy * focal + center, cam[:, 2]
 
 
-def render_mesh_overlay(img: np.ndarray, verts: np.ndarray,
-                        faces: np.ndarray, rotation: np.ndarray,
-                        translation: np.ndarray, focal: np.ndarray,
-                        center: np.ndarray, color=(0.65, 0.74, 0.86),
-                        alpha: float = 0.9) -> np.ndarray:
-    """Composite the mesh over `img` (uint8 BGR or RGB, returned same)."""
+def _rasterize(img: np.ndarray, verts: np.ndarray, faces: np.ndarray,
+               base_colors: np.ndarray, rotation: np.ndarray,
+               translation: np.ndarray, focal: np.ndarray,
+               center: np.ndarray, alpha: float) -> np.ndarray:
+    """Painter's-algorithm fill: ONE global far->near sort over every
+    face in `faces` (base_colors (F, 3) 0-255), so occlusion is correct
+    across everything drawn in the same call."""
     import cv2
 
     h, w = img.shape[:2]
@@ -74,16 +75,70 @@ def render_mesh_overlay(img: np.ndarray, verts: np.ndarray,
     order = order[valid[order]]
 
     layer = img.copy()
-    base = (np.asarray(color) * 255.0)
     pts = np.round(tri_pix).astype(np.int32)
     for f in order:
-        c = tuple(int(v) for v in (base * shade[f]))
+        c = tuple(int(v) for v in (base_colors[f] * shade[f]))
         cv2.fillConvexPoly(layer, pts[f], c, lineType=cv2.LINE_AA)
 
     # Alpha blend only where the mesh drew.
     mask = np.any(layer != img, axis=2, keepdims=True)
     out = np.where(mask, (alpha * layer + (1 - alpha) * img), img)
     return out.astype(img.dtype)
+
+
+def render_mesh_overlay(img: np.ndarray, verts: np.ndarray,
+                        faces: np.ndarray, rotation: np.ndarray,
+                        translation: np.ndarray, focal: np.ndarray,
+                        center: np.ndarray, color=(0.65, 0.74, 0.86),
+                        alpha: float = 0.9) -> np.ndarray:
+    """Composite the mesh over `img` (uint8 BGR or RGB, returned same)."""
+    base = np.tile(np.asarray(color, np.float64) * 255.0,
+                   (len(faces), 1))
+    return _rasterize(img, np.asarray(verts), np.asarray(faces), base,
+                      rotation, translation, focal, center, alpha)
+
+
+# Per-person mesh tints (BGR-ish pastels, cycled), mirroring the
+# reference's distinct colors in `render_multiperson`
+# (`utils.py:1030-1100`).
+PERSON_COLORS = ((0.65, 0.74, 0.86), (0.86, 0.68, 0.60),
+                 (0.62, 0.84, 0.66), (0.85, 0.83, 0.58),
+                 (0.78, 0.62, 0.84), (0.60, 0.82, 0.84))
+
+
+def render_multiperson_overlay(img: np.ndarray, verts_people,
+                               faces: np.ndarray, rotation: np.ndarray,
+                               translation: np.ndarray,
+                               focal: np.ndarray, center: np.ndarray,
+                               colors=None, alpha: float = 0.9
+                               ) -> np.ndarray:
+    """All people in ONE depth-sorted pass (the reference's
+    `Renderer.render_multiperson`, `utils.py:1030-1100`): faces from
+    different people interleave in the global far->near order, so
+    inter-person occlusion is correct — sequential single-mesh calls
+    would always paint later people over earlier ones.
+
+    verts_people: (P, V, 3) array or list of (V, 3) arrays.
+    """
+    verts_people = [np.asarray(v) for v in verts_people]
+    if not verts_people:
+        return img.copy()
+    faces = np.asarray(faces)
+    if colors is None:
+        colors = [PERSON_COLORS[p % len(PERSON_COLORS)]
+                  for p in range(len(verts_people))]
+    all_verts = np.concatenate(verts_people, axis=0)
+    all_faces, all_colors = [], []
+    off = 0
+    for p, v in enumerate(verts_people):
+        all_faces.append(faces + off)
+        all_colors.append(np.tile(
+            np.asarray(colors[p], np.float64) * 255.0,
+            (len(faces), 1)))
+        off += len(v)
+    return _rasterize(img, all_verts, np.concatenate(all_faces),
+                      np.concatenate(all_colors), rotation, translation,
+                      focal, center, alpha)
 
 
 def draw_keypoints(img: np.ndarray, keypoints: np.ndarray,
@@ -138,4 +193,42 @@ def save_overlays(out_dir: str, frame, cameras, verts: np.ndarray,
                                   c[v])
         if frame.view_mask[v] > 0:
             draw_keypoints(out, frame.keypoints[v, 0])
+        cv2.imwrite(os.path.join(out_dir, f"{v:02d}.jpg"), out)
+
+
+def save_overlays_multi(out_dir: str, frame, cameras, verts_people,
+                        faces: np.ndarray,
+                        live: Optional[np.ndarray] = None) -> None:
+    """Multi-person counterpart of `save_overlays`: every live person's
+    mesh in one jointly depth-sorted render per view, plus each
+    person's keypoints where annotated.
+
+    verts_people: (P, V, 3); live: (P,) person-present mask.
+    """
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    P = len(verts_people)
+    if live is None:
+        live = np.ones((P,), bool)
+    keep = [p for p in range(P) if live[p]]
+    R = np.asarray(cameras.rotation)
+    t = np.asarray(cameras.translation)
+    f = np.asarray(cameras.focal)
+    c = np.asarray(cameras.center)
+    for v, img_path in enumerate(frame.img_paths):
+        if img_path is None or not os.path.exists(img_path):
+            continue
+        img = cv2.imread(img_path)
+        if img is None:
+            continue
+        out = render_multiperson_overlay(
+            img, [verts_people[p] for p in keep], faces,
+            R[v], t[v], f[v], c[v],
+            colors=[PERSON_COLORS[p % len(PERSON_COLORS)]
+                    for p in keep])
+        if frame.view_mask[v] > 0:
+            for p in keep:
+                if frame.person_mask[v, p] > 0:
+                    draw_keypoints(out, frame.keypoints[v, p])
         cv2.imwrite(os.path.join(out_dir, f"{v:02d}.jpg"), out)

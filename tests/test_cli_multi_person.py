@@ -49,7 +49,10 @@ def test_cli_two_people(tmp_path):
             betas=jnp.asarray(0.3 * rng.standard_normal(10), jnp.float32),
             global_orient=jnp.asarray([0.1, 0.2, 0.0]),
             body_pose=jnp.zeros(69),
-            transl=jnp.asarray([dx, 0.0, 3.0]),
+            # The demo cameras converge on world point ~(0.15, -0.97,
+            # -13.75) (~30 m depth): bodies there project inside every
+            # view, so the overlay assertion below is meaningful.
+            transl=jnp.asarray([0.15 + dx, -0.97, -13.75]),
             scale=jnp.asarray(1.0))
         _, joints = smpl_forward(assets, true,
                                  vposer_lib.decode(vw, z))
@@ -65,8 +68,11 @@ def test_cli_two_people(tmp_path):
                               cam_name)
         os.makedirs(img_dir)
         os.makedirs(kp_dir)
+        # Image must cover the demo cameras' principal points
+        # (cx ~1023, cy ~770) or every projected face is culled and the
+        # overlay assertion below is vacuous.
         cv2.imwrite(os.path.join(img_dir, "00001.jpg"),
-                    np.zeros((64, 64, 3), np.uint8))
+                    np.zeros((1536, 2048, 3), np.uint8))
         people = np.stack([
             np.concatenate([gt2d[v],
                             np.ones((gt2d.shape[1], 1), np.float32)],
@@ -91,7 +97,7 @@ num_people: 2
 interpenetration: false
 maxiters: 10
 save_meshes: false
-save_images: false
+save_images: true
 """)
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     proc = subprocess.run(
@@ -108,6 +114,15 @@ save_images: false
         assert os.path.exists(path), proc.stdout[-500:]
         with open(path, "rb") as f:
             res.append(pickle.load(f))
+
+    # Multi-person overlays written (one jointly depth-sorted render
+    # per view, `viz/overlay.py:save_overlays_multi`).
+    img_dir = os.path.join(work, "out", "images", "0000", "00001")
+    overlays = sorted(os.listdir(img_dir)) if os.path.isdir(img_dir) \
+        else []
+    assert len(overlays) == V, (overlays, proc.stdout[-500:])
+    painted = cv2.imread(os.path.join(img_dir, overlays[0]))
+    assert painted is not None and painted.sum() > 0
 
     # Both converged onto their own detections: x-order preserved and
     # positions near truth (noise-free observations, no collision

@@ -108,6 +108,38 @@ class TestDepthOrdering:
         assert 90.0 < mean < 130.0, mean
 
 
+class TestMultiPerson:
+    def test_interperson_occlusion_global_sort(self):
+        """Person 0 (near) listed FIRST must still occlude person 1
+        (far) at the overlap — sequential per-person rendering would
+        paint person 1 over it (`render_multiperson`,
+        `utils.py:1030-1100`: one global depth sort)."""
+        from mvsmplfitting_tpu.viz.overlay import (
+            render_multiperson_overlay)
+
+        def quad(z, half):
+            return np.asarray([[-half, -half, z], [half, -half, z],
+                               [half, half, z], [-half, half, z]],
+                              np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        near, far = quad(2.0, 0.2), quad(4.0, 1.0)
+        out = render_multiperson_overlay(
+            _img(), [near, far], faces, R, T, F, C,
+            colors=[(0.0, 1.0, 0.0), (1.0, 0.0, 0.0)], alpha=1.0)
+        # center: the near person's (green) channel wins
+        assert out[32, 32, 1] > out[32, 32, 0]
+        # inside the far person's silhouette only: red
+        assert out[50, 50, 0] > out[50, 50, 1]
+
+    def test_empty_people_list(self):
+        from mvsmplfitting_tpu.viz.overlay import (
+            render_multiperson_overlay)
+        img = _img()
+        out = render_multiperson_overlay(img, [], np.zeros((0, 3), int),
+                                         R, T, F, C)
+        np.testing.assert_array_equal(out, img)
+
+
 class TestKeypoints:
     def test_draw_respects_confidence(self):
         img = _img()

@@ -48,7 +48,79 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop after N steps (0 = run all epochs)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--val_ann", default=None,
+                   help="COCO instances GT json for validation mAP")
+    p.add_argument("--val_img_root", default=None,
+                   help="validation image root (default: --img_root)")
+    p.add_argument("--eval_interval", type=int, default=10,
+                   help="evaluate every N epochs (and at the end)")
     return p.parse_args(argv)
+
+
+def evaluate_detection(apply_fn, variables, ann: str, img_root: str,
+                       input_hw, conf_thresh: float = 0.01,
+                       nms_thresh: float = 0.65,
+                       max_images: int = 0) -> float:
+    """Validation box mAP (IoU 0.50:0.95) — the reference trainer's
+    `COCOEvaluator.evaluate` + pycocotools scoring
+    (`yolox/evaluators/coco_evaluator.py`), natively: letterbox each
+    annotated image, sigmoided decode, per-anchor argmax class,
+    class-aware NMS, inverse letterbox scale, `metrics.box_map`.
+    """
+    import json
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..detect.metrics import box_map
+    from ..detect.preprocess import letterbox
+    from ..detect.yolox import nms_xyxy
+
+    with open(ann) as f:
+        data = json.load(f)
+    names = {int(im["id"]): im.get("file_name")
+             for im in data.get("images", [])}
+    cat_ids = sorted(c["id"] for c in data.get("categories", []))
+    class_of = {cid: i for i, cid in enumerate(cat_ids)}
+    gt_rows: dict = {}
+    for a in data.get("annotations", []):
+        if "bbox" not in a or a.get("iscrowd", 0):
+            continue
+        x, y, w, h = (float(v) for v in a["bbox"])
+        if w <= 0 or h <= 0:
+            continue
+        cls = class_of.get(int(a.get("category_id", 1)), 0)
+        gt_rows.setdefault(int(a["image_id"]), []).append(
+            [x, y, x + w, y + h, cls])
+
+    preds, gts = [], []
+    for n, (iid, rows) in enumerate(sorted(gt_rows.items())):
+        if max_images and n >= max_images:
+            break
+        name = names.get(iid) or f"{iid:012d}.jpg"
+        img = cv2.imread(os.path.join(img_root, name))
+        if img is None:
+            continue
+        inp, r = letterbox(img, input_hw)     # raw 0-255 BGR, like train
+        out = np.asarray(apply_fn(variables, jnp.asarray(inp[None])))[0]
+        cls_sc = out[:, 5:]
+        ci = cls_sc.argmax(-1)
+        sc = out[:, 4] * cls_sc.max(-1)
+        m = sc >= conf_thresh
+        xy, wh = out[m, :2], out[m, 2:4]
+        xyxy = np.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        ci, sc = ci[m], sc[m]
+        if len(sc):
+            # class-aware NMS: offset boxes per class so only
+            # same-class boxes can suppress each other.
+            keep = nms_xyxy(xyxy + ci[:, None] * 1e5, sc, nms_thresh)
+            xyxy, ci, sc = xyxy[keep], ci[keep], sc[keep]
+        preds.append({"boxes": xyxy / r, "scores": sc, "classes": ci})
+        g = np.asarray(rows, np.float32).reshape(-1, 5)
+        gts.append({"boxes": g[:, :4],
+                    "classes": g[:, 4].astype(np.int64)})
+    return box_map(preds, gts)
 
 
 def main(argv=None):
@@ -92,6 +164,14 @@ def main(argv=None):
     step_aug = make_yolox_train_step(model, tx, hw, use_l1=False)
     step_l1 = make_yolox_train_step(model, tx, hw, use_l1=True)
 
+    eval_apply = None
+    if args.val_ann:
+        # Same params, inference head (sigmoided decode) for validation.
+        model_eval = YOLOX(num_classes=ds.num_classes,
+                           depth_mul=args.depth, width_mul=args.width,
+                           input_hw=hw, train_outputs=False)
+        eval_apply = jax.jit(lambda v, x: model_eval.apply(v, x))
+
     devices = jax.devices()
     shard = None
     if len(devices) > 1 and args.batch % len(devices) == 0:
@@ -133,7 +213,19 @@ def main(argv=None):
                         {"params": state.params,
                          "batch_stats": state.batch_stats})
         save_checkpoint(os.path.join(args.out, "ema.npz"), state.ema)
-        if args.max_steps and step >= args.max_steps:
+        done = args.max_steps and step >= args.max_steps
+        if eval_apply is not None and (
+                done or epoch == args.epochs - 1
+                or (args.eval_interval
+                    and (epoch + 1) % args.eval_interval == 0)):
+            # Evaluate the EMA model, like the reference trainer.
+            m = evaluate_detection(
+                eval_apply, state.ema, args.val_ann,
+                args.val_img_root or args.img_root, hw)
+            print(f"epoch {epoch} val box mAP(0.50:0.95) {m:.4f}",
+                  flush=True)
+            metrics.log(epoch=epoch, step=step, val_box_map=m)
+        if done:
             break
     print(f"done: {step} steps, checkpoints in {args.out}")
 

@@ -14,6 +14,9 @@ Rebuild of the reference's eval yardsticks
   this environment, so the COCO OKS formula and the 0.50:0.05:0.95 AP
   protocol (greedy score-ordered matching per image) are implemented
   natively — same math, no external dep.
+* `box_map` == the ``ann_type='bbox'`` branch of `evaluate_mAP`:
+  class-aware detection AP over the same IoU sweep (YOLOX training
+  validation).  `mask_iou` == `calc_iou` (`metrics.py:35-58`).
 
 Numpy on purpose: this is offline eval, not the fitting hot path.
 """
@@ -104,10 +107,7 @@ def keypoint_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
     if thresholds is None:
         thresholds = np.arange(0.5, 1.0, 0.05)
 
-    # Per-threshold match flags across the whole dataset.
-    all_scores = []
-    all_matches = {t: [] for t in thresholds}
-    total_gt = 0
+    entries = []
     for pred, gt in zip(predictions, groundtruths):
         kps = np.asarray(pred["keypoints"], np.float32)   # (K, J, 2)
         scores = np.asarray(pred.get("scores",
@@ -116,32 +116,46 @@ def keypoint_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
         areas = np.asarray(gt.get("areas", np.ones(len(gkps))),
                            np.float32)
         viss = gt.get("vis")
-        total_gt += len(gkps)
-
-        order = np.argsort(-scores)
         oks_mat = np.zeros((len(kps), len(gkps)))
         for i in range(len(kps)):
             for m in range(len(gkps)):
                 v = None if viss is None else np.asarray(viss[m])
                 oks_mat[i, m] = keypoint_oks(kps[i], gkps[m],
                                              float(areas[m]), v, sigmas)
+        entries.append((oks_mat, scores))
+    return _greedy_map(entries, thresholds)
+
+
+def _greedy_map(entries, thresholds) -> float:
+    """Shared AP sweep: per image, (sim (K, M), scores (K,)) pairs.
+
+    Greedy score-ordered matching per threshold across the dataset,
+    then 101-point interpolated AP averaged over thresholds — the
+    pycocotools protocol minus the size-stratified variants.
+    """
+    all_scores = []
+    all_matches = {t: [] for t in thresholds}
+    total_gt = 0
+    for sim, scores in entries:
+        K, M = sim.shape
+        total_gt += M
+        order = np.argsort(-np.asarray(scores))
         for t in thresholds:
-            used = np.zeros(len(gkps), bool)
+            used = np.zeros(M, bool)
             for i in order:
                 best, best_m = t, -1
-                for m in range(len(gkps)):
-                    if not used[m] and oks_mat[i, m] >= best:
-                        best, best_m = oks_mat[i, m], m
+                for m in range(M):
+                    if not used[m] and sim[i, m] >= best:
+                        best, best_m = sim[i, m], m
                 matched = best_m >= 0
                 if matched:
                     used[best_m] = True
                 all_matches[t].append(matched)
-        all_scores.extend(scores[order])
+        all_scores.extend(np.asarray(scores)[order])
 
     if total_gt == 0 or not all_scores:
         return 0.0
 
-    # 101-point interpolated AP per threshold, averaged.
     order = np.argsort(-np.asarray(all_scores))
     aps = []
     for t in thresholds:
@@ -156,3 +170,85 @@ def keypoint_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
             ap += (p.max() if len(p) else 0.0) / 101
         aps.append(ap)
     return float(np.mean(aps))
+
+
+def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of (K, 4) vs (M, 4) xyxy boxes -> (K, M)."""
+    a = np.asarray(a, np.float32).reshape(-1, 4)
+    b = np.asarray(b, np.float32).reshape(-1, 4)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * \
+        np.clip(a[:, 3] - a[:, 1], 0, None)
+    area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * \
+        np.clip(b[:, 3] - b[:, 1], 0, None)
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter,
+                              1e-9)
+
+
+def box_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
+            thresholds: Optional[np.ndarray] = None,
+            max_dets: int = 100) -> float:
+    """Detection box mean AP, IoU 0.50:0.05:0.95 — the ``bbox`` branch
+    of the reference's pycocotools `evaluate_mAP`
+    (`alphapose_core/alphapose/utils/metrics.py:65-121`), natively:
+    per-class greedy matching (a detection only matches GT of its own
+    class), AP averaged over classes present in the ground truth.
+
+    predictions: per-image {"boxes": (K, 4) xyxy, "scores": (K,),
+      optional "classes": (K,) int (default all 0)}.
+    groundtruths: per-image {"boxes": (M, 4) xyxy,
+      optional "classes": (M,)}.
+    """
+    if thresholds is None:
+        thresholds = np.arange(0.5, 1.0, 0.05)
+
+    def cls_of(d, key, n):
+        c = d.get("classes")
+        return (np.zeros(n, np.int64) if c is None
+                else np.asarray(c, np.int64).reshape(-1))
+
+    gt_classes = set()
+    for gt in groundtruths:
+        gt_classes |= set(cls_of(gt, "classes",
+                                 len(gt["boxes"])).tolist())
+    if not gt_classes:
+        return 0.0
+
+    aps = []
+    for cls in sorted(gt_classes):
+        entries = []
+        for pred, gt in zip(predictions, groundtruths):
+            boxes = np.asarray(pred.get("boxes", np.zeros((0, 4))),
+                               np.float32).reshape(-1, 4)
+            scores = np.asarray(
+                pred.get("scores", np.ones(len(boxes))), np.float32)
+            pc = cls_of(pred, "classes", len(boxes))
+            keep = pc == cls
+            boxes, scores = boxes[keep], scores[keep]
+            if len(scores) > max_dets:            # COCO maxDets=100
+                top = np.argsort(-scores)[:max_dets]
+                boxes, scores = boxes[top], scores[top]
+            gboxes = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
+            gboxes = gboxes[cls_of(gt, "classes", len(gboxes)) == cls]
+            entries.append((box_iou_xyxy(boxes, gboxes), scores))
+        aps.append(_greedy_map(entries, thresholds))
+    return float(np.mean(aps))
+
+
+def mask_iou(pred: np.ndarray, target: np.ndarray) -> float:
+    """Binary-mask IoU — the reference's `calc_iou`
+    (`metrics.py:35-58`): threshold both at 0.5; (H, W) gives one IoU,
+    (N, ...) averages per-sample IoUs."""
+    pred = np.asarray(pred) >= 0.5
+    target = np.asarray(target) >= 0.5
+    inter = pred & target
+    union = pred | target
+    if pred.ndim == 2:
+        return float(inter.sum() / np.maximum(union.sum(), 1e-9))
+    n = pred.shape[0]
+    i = inter.reshape(n, -1).sum(1).astype(np.float64)
+    u = union.reshape(n, -1).sum(1).astype(np.float64)
+    return float(np.mean(i / np.maximum(u, 1e-9)))

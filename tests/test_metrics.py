@@ -104,6 +104,65 @@ class TestOKS:
         assert 0.2 < m < 0.6       # one of two GT matched -> AP ~ 0.5
 
 
+class TestBoxMap:
+    """Native detection mAP — the reference's `evaluate_mAP`
+    bbox branch (pycocotools) rebuilt; protocol checks on
+    hand-countable cases."""
+
+    def test_iou_pairwise(self):
+        from mvsmplfitting_tpu.detect.metrics import box_iou_xyxy
+        a = np.asarray([[0, 0, 10, 10]], np.float32)
+        b = np.asarray([[0, 0, 10, 10], [5, 5, 15, 15],
+                        [20, 20, 30, 30]], np.float32)
+        iou = box_iou_xyxy(a, b)[0]
+        np.testing.assert_allclose(iou, [1.0, 25.0 / 175.0, 0.0],
+                                   atol=1e-6)
+
+    def test_perfect_and_miss(self):
+        from mvsmplfitting_tpu.detect.metrics import box_map
+        gt = [{"boxes": np.asarray([[0, 0, 10, 10], [20, 0, 40, 30]],
+                                   np.float32)}]
+        perfect = [{"boxes": gt[0]["boxes"].copy(),
+                    "scores": np.asarray([0.9, 0.8])}]
+        assert box_map(perfect, gt) == pytest.approx(1.0)
+        junk = [{"boxes": gt[0]["boxes"] + 100.0,
+                 "scores": np.asarray([0.9, 0.8])}]
+        assert box_map(junk, gt) == pytest.approx(0.0)
+
+    def test_class_aware_matching(self):
+        from mvsmplfitting_tpu.detect.metrics import box_map
+        boxes = np.asarray([[0, 0, 10, 10], [20, 0, 30, 10]],
+                           np.float32)
+        gt = [{"boxes": boxes, "classes": np.asarray([0, 1])}]
+        right = [{"boxes": boxes, "scores": np.asarray([0.9, 0.8]),
+                  "classes": np.asarray([0, 1])}]
+        assert box_map(right, gt) == pytest.approx(1.0)
+        # Same boxes, classes swapped: wrong class can't match -> 0.
+        wrong = [{"boxes": boxes, "scores": np.asarray([0.9, 0.8]),
+                  "classes": np.asarray([1, 0])}]
+        assert box_map(wrong, gt) == pytest.approx(0.0)
+
+    def test_iou_sweep_partial_credit(self):
+        from mvsmplfitting_tpu.detect.metrics import box_map
+        gt = [{"boxes": np.asarray([[0, 0, 10, 10]], np.float32)}]
+        # IoU 10*8/(100+80-80) = 0.8: matches at t<=0.8, misses above
+        # -> 7 of 10 thresholds.
+        shifted = [{"boxes": np.asarray([[0, 2, 10, 10]], np.float32),
+                    "scores": np.asarray([0.9])}]
+        m = box_map(shifted, gt)
+        assert m == pytest.approx(0.7, abs=0.01)
+
+    def test_mask_iou_reference_semantics(self):
+        from mvsmplfitting_tpu.detect.metrics import mask_iou
+        a = np.zeros((4, 4)); a[:2] = 1.0
+        b = np.zeros((4, 4)); b[1:3] = 1.0
+        assert mask_iou(a, b) == pytest.approx(4.0 / 12.0)
+        # batched: mean of per-sample IoUs
+        batch_p = np.stack([a, a]); batch_t = np.stack([a, b])
+        assert mask_iou(batch_p, batch_t) == pytest.approx(
+            (1.0 + 4.0 / 12.0) / 2)
+
+
 class TestCocoIO:
     """COCO file contracts + native mAP (the reference defers these to
     pycocotools, `metrics.py:64-119`, unavailable here)."""

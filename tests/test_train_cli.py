@@ -162,8 +162,16 @@ class TestYoloxTrainCLI:
               "--depth", "0.33", "--width", "0.125",
               "--input_size", "64x64", "--batch", "2",
               "--epochs", "1", "--max_steps", "2",
-              "--max_labels", "20", "--out", out])
+              "--max_labels", "20", "--out", out,
+              "--val_ann", ann, "--eval_interval", "1"])
         assert os.path.exists(os.path.join(out, "last.npz"))
         assert os.path.exists(os.path.join(out, "ema.npz"))
         lines = open(os.path.join(out, "train_metrics.jsonl")).read()
         assert "num_fg" in lines
+        # validation ran: a val_box_map record (random net -> ~0 mAP,
+        # but the metric must be computed and finite)
+        import json as _json
+        vals = [_json.loads(ln)["val_box_map"]
+                for ln in lines.splitlines()
+                if "val_box_map" in ln]
+        assert vals and all(0.0 <= v <= 1.0 for v in vals)

@@ -24,8 +24,8 @@ from .predictor import PersonDetector, PoseEstimator, KeypointPipeline
 from .roi_align import roi_align, align_transform, clip_aspect_ratio
 from .deform_conv import deform_conv2d, dcn_offset_mask_split
 from .hybrik import Simple3DPoseSMPLCam, integral_uvd, uvd_to_xyz
-from .metrics import (box_iou_xyxy, box_map, heatmap_pck, keypoint_map,
-                      keypoint_oks, mask_iou)
+from .metrics import (box_iou_xyxy, box_map, heatmap_pck, integral_pck,
+                      keypoint_map, keypoint_oks, mask_iou)
 from .fastpose_duc import FastPoseDUC, FastPoseDUCDense
 from .coco_io import (evaluate_coco_map, load_coco_annotations,
                       load_coco_results, save_coco_results)

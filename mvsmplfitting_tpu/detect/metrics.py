@@ -74,6 +74,54 @@ def heatmap_pck(pred_hms: np.ndarray, label_hms: np.ndarray,
     return _pck_from_coords(preds, labels, norm, thr)
 
 
+def integral_pck(pred_hms: np.ndarray, labels: np.ndarray,
+                 label_masks: np.ndarray, output_3d: bool = False,
+                 norm_type: str = "softmax", thr: float = 0.5) -> float:
+    """Integral-regression PCK — the reference's
+    `calc_integral_accuracy` (`metrics.py:156-225`): soft-argmax the
+    predicted heatmaps, map predictions AND the normalized labels into
+    heatmap-pixel space via ``(u + 0.5) * size``, zero both through the
+    per-coordinate mask, then the same calc_dist/dist_acc protocol as
+    `heatmap_pck` (normalize by size/10, visible = label x,y > 1 —
+    masked joints land at 0 and drop out of the count).
+
+    pred_hms: (N, J, H, W) or, with ``output_3d``, (N, J*D, H, W) with
+    D == H (the reference's depth convention).  labels/label_masks:
+    (N, J*dims) normalized coords in [-0.5, 0.5].
+    """
+    p = np.asarray(pred_hms, np.float64)
+    N, H, W = p.shape[0], p.shape[-2], p.shape[-1]
+    D = H if output_3d else 1
+    J = p.shape[1] // D
+    dims = 3 if output_3d else 2
+    flat = p.reshape(N, J, D * H * W)
+    if norm_type == "softmax":
+        flat = flat - flat.max(-1, keepdims=True)
+        e = np.exp(flat)
+        prob = e / np.maximum(e.sum(-1, keepdims=True), 1e-12)
+    else:                                   # sigmoid normalization
+        s = 1.0 / (1.0 + np.exp(-flat))
+        prob = s / np.maximum(s.sum(-1, keepdims=True), 1e-12)
+    vol = prob.reshape(N, J, D, H, W)
+    # E[ix] == (x_norm + 0.5) * W exactly (`transforms.py:628-631`).
+    ex = (vol.sum(axis=(2, 3)) * np.arange(W)).sum(-1)     # (N, J)
+    ey = (vol.sum(axis=(2, 4)) * np.arange(H)).sum(-1)
+    coords = [ex, ey]
+    sizes = [W, H]
+    if output_3d:
+        coords.append((vol.sum(axis=(3, 4)) * np.arange(D)).sum(-1))
+        sizes.append(D)
+    preds = np.stack(coords, axis=-1)                      # (N, J, dims)
+
+    lab = np.asarray(labels, np.float64).reshape(N, J, dims)
+    msk = np.asarray(label_masks, np.float64).reshape(N, J, dims)
+    lab = (lab + 0.5) * np.asarray(sizes)
+    preds = preds * msk
+    lab = lab * msk
+    norm = np.ones((N, dims)) * np.asarray(sizes) / 10.0
+    return _pck_from_coords(preds, lab, norm, thr)
+
+
 def keypoint_oks(pred: np.ndarray, gt: np.ndarray, area: float,
                  vis: Optional[np.ndarray] = None,
                  sigmas: Optional[np.ndarray] = None) -> float:

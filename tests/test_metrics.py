@@ -104,6 +104,59 @@ class TestOKS:
         assert 0.2 < m < 0.6       # one of two GT matched -> AP ~ 0.5
 
 
+class TestIntegralPCK:
+    """`integral_pck` == the reference's `calc_integral_accuracy`
+    (`metrics.py:156-225`).  The reference function is CUDA-only
+    (`torch.cuda.comm.broadcast`), so behavior is pinned with
+    constructed cases instead of a golden import."""
+
+    def _hm(self, J, H, W, peaks, sharp=50.0):
+        """Sharp logit peaks at integer (x, y) per joint."""
+        hm = np.zeros((1, J, H, W), np.float32)
+        for j, (x, y) in enumerate(peaks):
+            hm[0, j, y, x] = sharp
+        return hm
+
+    def test_perfect_prediction(self):
+        from mvsmplfitting_tpu.detect.metrics import integral_pck
+        H = W = 16
+        peaks = [(4, 8), (12, 3), (7, 7)]
+        hm = self._hm(3, H, W, peaks)
+        # normalized labels: u = x/W - 0.5 (so (u+0.5)*W == x)
+        lab = np.asarray([[x / W - 0.5, y / H - 0.5]
+                          for x, y in peaks]).reshape(1, -1)
+        msk = np.ones_like(lab)
+        assert integral_pck(hm, lab, msk) == pytest.approx(1.0)
+
+    def test_wrong_prediction_and_mask(self):
+        from mvsmplfitting_tpu.detect.metrics import integral_pck
+        H = W = 16
+        hm = self._hm(2, H, W, [(4, 8), (2, 2)])
+        # joint 0 label far away (> size/10 * 0.5 = 0.8 px norm dist),
+        # joint 1 masked out -> excluded entirely.
+        lab = np.asarray([[12 / W - 0.5, 12 / H - 0.5],
+                          [10 / W - 0.5, 10 / H - 0.5]]).reshape(1, -1)
+        msk = np.asarray([[1.0, 1.0, 0.0, 0.0]])
+        assert integral_pck(hm, lab, msk) == pytest.approx(0.0)
+
+    def test_3d_and_sigmoid(self):
+        from mvsmplfitting_tpu.detect.metrics import integral_pck
+        H = W = D = 8
+        J = 2
+        # background at -50: sigmoid(0) = 0.5 would spread half a unit
+        # of mass on EVERY voxel and pull the expectation to the center
+        hm = np.full((1, J * D, H, W), -50.0, np.float32)
+        peaks = [(2, 3, 4), (6, 1, 2)]           # (x, y, z)
+        for j, (x, y, z) in enumerate(peaks):
+            hm[0, j * D + z, y, x] = 50.0
+        lab = np.asarray([[x / W - 0.5, y / H - 0.5, z / D - 0.5]
+                          for x, y, z in peaks]).reshape(1, -1)
+        msk = np.ones_like(lab)
+        for nt in ("softmax", "sigmoid"):
+            assert integral_pck(hm, lab, msk, output_3d=True,
+                                norm_type=nt) == pytest.approx(1.0)
+
+
 class TestBoxMap:
     """Native detection mAP — the reference's `evaluate_mAP`
     bbox branch (pycocotools) rebuilt; protocol checks on

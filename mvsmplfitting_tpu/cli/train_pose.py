@@ -41,6 +41,12 @@ def parse_args(argv=None):
                    help="epoch milestones (LR_STEP)")
     p.add_argument("--lr_factor", type=float, default=0.1)
     p.add_argument("--sigma", type=float, default=2.0)
+    p.add_argument("--loss_type", default="mse",
+                   choices=["mse", "integral"],
+                   help="MSELoss heatmap targets or L1JointRegression")
+    p.add_argument("--norm_type", default="softmax",
+                   choices=["softmax", "sigmoid"],
+                   help="integral-loss heatmap normalization")
     p.add_argument("--out", default="pose_train_out")
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop after N steps (0 = run all epochs)")
@@ -60,6 +66,7 @@ def main(argv=None):
 
     from ..detect.dataset import CocoPoseTrainDataset
     from ..detect.train import (init_train_state, lr_schedule,
+                                make_integral_train_step,
                                 make_optimizer, make_pose_train_step,
                                 save_checkpoint)
     from ..detect.zoo import build_pose_model
@@ -67,9 +74,12 @@ def main(argv=None):
 
     hw = tuple(int(v) for v in args.input_size.split("x"))
     hm = tuple(int(v) for v in args.heatmap_size.split("x"))
+    integral = args.loss_type == "integral"
     ds = CocoPoseTrainDataset(args.ann, args.img_root, hw, hm,
                               batch_size=args.batch, sigma=args.sigma,
-                              seed=args.seed)
+                              seed=args.seed,
+                              loss_type=("integral" if integral
+                                         else "heatmap"))
     if len(ds) == 0:
         raise SystemExit("no full batches: fewer annotations than "
                          f"--batch {args.batch}")
@@ -92,7 +102,9 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(args.seed),
                            jnp.zeros((1, *hw, 3)))
     state = init_train_state(variables, tx)
-    step_fn = make_pose_train_step(model, tx)
+    step_fn = (make_integral_train_step(model, tx,
+                                        norm_type=args.norm_type)
+               if integral else make_pose_train_step(model, tx))
 
     devices = jax.devices()
     shard = None

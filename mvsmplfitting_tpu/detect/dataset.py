@@ -147,13 +147,17 @@ class CocoPoseTrainDataset:
                  input_size: Tuple[int, int] = (256, 192),
                  heatmap_size: Tuple[int, int] = (64, 48),
                  batch_size: int = 32, sigma: float = 2.0,
-                 aug=None, seed: int = 0, min_keypoints: int = 1):
+                 aug=None, seed: int = 0, min_keypoints: int = 1,
+                 loss_type: str = "heatmap"):
         from .augment import PoseAugConfig
+        if loss_type not in ("heatmap", "integral"):
+            raise ValueError(f"unknown loss_type {loss_type!r}")
         self.img_root = img_root
         self.input_size = input_size
         self.heatmap_size = heatmap_size
         self.batch_size = batch_size
         self.sigma = sigma
+        self.loss_type = loss_type
         self.aug = aug or PoseAugConfig(input_hw=input_size)
         self.rng = np.random.default_rng(seed)
 
@@ -191,18 +195,23 @@ class CocoPoseTrainDataset:
         import cv2
 
         from .augment import pose_train_sample
-        from .train import heatmap_targets_np
+        from .train import heatmap_targets_np, integral_targets_np
 
         order = self.rng.permutation(len(self.entries))
         H, W = self.input_size
         Hm, Wm = self.heatmap_size
         J = self.num_joints
+        integral = self.loss_type == "integral"
         for start in range(0, len(order) - self.batch_size + 1,
                            self.batch_size):
             imgs = np.zeros((self.batch_size, H, W, 3), np.float32)
-            targets = np.zeros((self.batch_size, Hm, Wm, J),
-                               np.float32)
-            weights = np.zeros((self.batch_size, J), np.float32)
+            if integral:
+                targets = np.zeros((self.batch_size, J * 2), np.float32)
+                weights = np.zeros((self.batch_size, J * 2), np.float32)
+            else:
+                targets = np.zeros((self.batch_size, Hm, Wm, J),
+                                   np.float32)
+                weights = np.zeros((self.batch_size, J), np.float32)
             for i, idx in enumerate(order[start:start +
                                           self.batch_size]):
                 e = self.entries[idx]
@@ -214,11 +223,15 @@ class CocoPoseTrainDataset:
                     self.rng, img[..., ::-1].astype(np.float32) / 255.0,
                     np.asarray([x, y, x + w, y + h], np.float32),
                     e["joints"], e["vis"], self.aug)
-                t, tw = heatmap_targets_np(j_t, v_t, (Hm, Wm), (H, W),
-                                        self.sigma)
                 imgs[i] = crop
-                targets[i] = np.transpose(np.asarray(t), (1, 2, 0))
-                weights[i] = np.asarray(tw)[:, 0]
+                if integral:
+                    t, tw = integral_targets_np(j_t, v_t, (H, W))
+                    targets[i], weights[i] = t, tw
+                else:
+                    t, tw = heatmap_targets_np(j_t, v_t, (Hm, Wm),
+                                               (H, W), self.sigma)
+                    targets[i] = np.transpose(np.asarray(t), (1, 2, 0))
+                    weights[i] = np.asarray(tw)[:, 0]
             yield {"image": imgs, "target": targets,
                    "target_weight": weights}
 

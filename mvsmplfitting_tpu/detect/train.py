@@ -241,6 +241,109 @@ def heatmap_targets_np(joints_xy, joints_vis, heatmap_hw, input_hw,
     return target, w[:, None]
 
 
+# ---------------------------------------------------------------------------
+# Integral-regression criterion (AlphaPose ``L1JointRegression``,
+# `alphapose/models/criterion.py:13-97`, used by the `-regression`
+# train configs and the 3D HybrIK-style nets)
+
+def _integral_mul(p: jnp.ndarray) -> jnp.ndarray:
+    """``p * arange(L)`` with the reference's SURROGATE backward
+    (`IngetralCoordinate`, `criterion.py:13-44`): instead of the true
+    gradient ``g * arange(L)``, backprop ``g * ±AMPLITUDE`` — -2 for
+    bins left of the current expected coordinate, +2 at/right of it
+    (and +2 everywhere if the coordinate overflows the axis).  A
+    deliberate symmetric-gradient trick of the reference, kept for
+    training parity."""
+    return __integral_mul(p)
+
+
+@jax.custom_vjp
+def __integral_mul(p):
+    return p * jnp.arange(p.shape[-1], dtype=p.dtype)
+
+
+def _integral_mul_fwd(p):
+    L = p.shape[-1]
+    out = p * jnp.arange(L, dtype=p.dtype)
+    return out, out.sum(-1, keepdims=True)     # expected coordinate
+
+
+def _integral_mul_bwd(coord, g):
+    L = g.shape[-1]
+    w = jnp.arange(L, dtype=g.dtype)
+    mask = jnp.where(w < coord, -1.0, 1.0)
+    mask = jnp.where(coord > L, 1.0, mask)
+    return (g * mask * 2.0,)
+
+
+__integral_mul.defvjp(_integral_mul_fwd, _integral_mul_bwd)
+
+
+def integral_coords(hms: jnp.ndarray, num_joints: int,
+                    norm_type: str = "softmax",
+                    output_3d: bool = False):
+    """`_integral_tensor` (`transforms.py:651-689`) over NHWC heatmaps:
+    normalize per joint (softmax / sigmoid + sum-normalize), marginal
+    expectations through `_integral_mul`, normalized coords in
+    [-0.5, 0.5] interleaved per joint.
+
+    hms: (N, H, W, C) with C == J (2D) or C == J*D, D = C//J (3D).
+    Returns (coords (N, J*dims), scores (N, J, 1)).
+    """
+    N, H, W, C = hms.shape
+    J = num_joints
+    D = C // J if output_3d else 1
+    flat = jnp.transpose(hms, (0, 3, 1, 2)).reshape(N, J, -1)
+    if norm_type == "softmax":
+        norm = jax.nn.softmax(flat, axis=-1)
+        scores = jnp.ones((N, J, 1), hms.dtype)
+    else:
+        norm = jax.nn.sigmoid(flat)
+        scores = jnp.max(norm, axis=-1, keepdims=True)
+    p = norm / jnp.maximum(norm.sum(-1, keepdims=True), 1e-12)
+    vol = p.reshape(N, J, D, H, W)
+    cx = _integral_mul(vol.sum((2, 3))).sum(-1, keepdims=True) / W - 0.5
+    cy = _integral_mul(vol.sum((2, 4))).sum(-1, keepdims=True) / H - 0.5
+    if output_3d:
+        cz = (_integral_mul(vol.sum((3, 4))).sum(-1, keepdims=True)
+              / D - 0.5)
+        jts = jnp.concatenate([cx, cy, cz], axis=-1)
+    else:
+        jts = jnp.concatenate([cx, cy], axis=-1)
+    return jts.reshape(N, -1), scores
+
+
+def integral_l1_loss(pred_hms: jnp.ndarray, target: jnp.ndarray,
+                     target_weight: jnp.ndarray,
+                     norm_type: str = "softmax",
+                     output_3d: bool = False,
+                     size_average: bool = True) -> jnp.ndarray:
+    """``weighted_l1_loss`` (`criterion.py:85-97`): masked |pred - gt|
+    summed, / N when size_average.  target/target_weight: (N, J*dims)
+    normalized coords + per-coordinate weights."""
+    dims = 3 if output_3d else 2
+    J = target.shape[-1] // dims
+    jts, _ = integral_coords(pred_hms, J, norm_type, output_3d)
+    out = jnp.abs(jts - target) * target_weight
+    total = out.sum()
+    return total / pred_hms.shape[0] if size_average else total
+
+
+def integral_targets_np(joints_xy, joints_vis, input_hw):
+    """``_integral_target_generator`` (`simple_transform.py:165-182`,
+    minus its wholebody 2x-boost branches): normalized coords
+    ``x/w - 0.5, y/h - 0.5`` interleaved per joint, visibility
+    duplicated per coordinate."""
+    import numpy as np
+
+    joints_xy = np.asarray(joints_xy, np.float32)
+    t = np.stack([joints_xy[:, 0] / input_hw[1] - 0.5,
+                  joints_xy[:, 1] / input_hw[0] - 0.5], axis=-1)
+    w = np.repeat(np.asarray(joints_vis, np.float32)[:, None], 2,
+                  axis=1)
+    return t.reshape(-1), w.reshape(-1)
+
+
 def pose_heatmap_loss(pred: jnp.ndarray, target: jnp.ndarray,
                       target_weight: jnp.ndarray) -> jnp.ndarray:
     """``0.5 * MSELoss(pred * mask, target * mask)`` — the masked MSE
@@ -315,6 +418,22 @@ def make_pose_train_step(model, tx, **kw) -> Callable:
     def loss_fn(out, batch):
         return pose_heatmap_loss(out, batch["target"],
                                  batch["target_weight"])
+    return make_train_step(apply_fn, loss_fn, tx, **kw)
+
+
+def make_integral_train_step(model, tx, norm_type: str = "softmax",
+                             output_3d: bool = False, **kw) -> Callable:
+    """L1JointRegression train step (batch: ``{'image': (N,h,w,3),
+    'target': (N,J*dims), 'target_weight': (N,J*dims)}`` — the
+    integral-loss configs' contract)."""
+    def apply_fn(variables, batch, mutable):
+        return model.apply(variables, batch["image"], mutable=mutable)
+
+    def loss_fn(out, batch):
+        return integral_l1_loss(out, batch["target"],
+                                batch["target_weight"],
+                                norm_type=norm_type,
+                                output_3d=output_3d)
     return make_train_step(apply_fn, loss_fn, tx, **kw)
 
 

@@ -277,6 +277,150 @@ class TestEMAGolden:
                                        rtol=1e-5, atol=1e-7)
 
 
+def _ref_l1_joint_regression():
+    """Import the reference's `L1JointRegression`
+    (`alphapose/models/criterion.py`) with its registry/import chain
+    stubbed (the module itself is CPU-safe)."""
+    import importlib.util
+
+    sys.path.insert(0, "/root/reference/alphapose_core")
+    try:
+        import alphapose.utils.transforms as T
+
+        # criterion.py imports `alphapose_core.alphapose.utils.
+        # transforms` absolutely; alias the chain onto the real module.
+        for name in ("alphapose_core", "alphapose_core.alphapose",
+                     "alphapose_core.alphapose.utils"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules[
+            "alphapose_core.alphapose.utils.transforms"] = T
+        pkg = types.ModuleType("alphapose.models")
+        pkg.__path__ = [
+            "/root/reference/alphapose_core/alphapose/models"]
+        sys.modules.setdefault("alphapose.models", pkg)
+        builder = types.ModuleType("alphapose.models.builder")
+
+        class _Reg:
+            def register_module(self, m=None):
+                return m if m is not None else (lambda x: x)
+        builder.LOSS = _Reg()
+        sys.modules["alphapose.models.builder"] = builder
+        spec = importlib.util.spec_from_file_location(
+            "alphapose.models.criterion",
+            "/root/reference/alphapose_core/alphapose/models/"
+            "criterion.py")
+        crit = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(crit)
+        return crit.L1JointRegression
+    except Exception as e:                 # pragma: no cover
+        pytest.skip(f"reference criterion unimportable: {e}")
+    finally:
+        sys.path.pop(0)
+
+
+class TestIntegralCriterion:
+    """`integral_l1_loss` vs the reference's own `L1JointRegression` —
+    VALUE and input GRADIENT (the latter pins the `IngetralCoordinate`
+    surrogate-backward quirk, `criterion.py:13-44`)."""
+
+    @pytest.mark.parametrize("norm_type", ["softmax", "sigmoid"])
+    def test_golden_value_and_grad_2d(self, norm_type):
+        import torch
+
+        from mvsmplfitting_tpu.detect.train import integral_l1_loss
+
+        L1 = _ref_l1_joint_regression()
+        ref = L1(OUTPUT_3D=False, NORM_TYPE=norm_type)
+        rng = np.random.default_rng(0)
+        N, J, H, W = 2, 5, 8, 6
+        hm = rng.standard_normal((N, J, H, W)).astype(np.float32)
+        gt = rng.uniform(-0.5, 0.5, (N, J * 2)).astype(np.float32)
+        vis = (rng.uniform(0, 1, (N, J * 2)) > 0.3).astype(np.float32)
+
+        t = torch.from_numpy(hm.copy()).requires_grad_(True)
+        want = ref(t, torch.from_numpy(gt), torch.from_numpy(vis))
+        want.backward()
+
+        f = lambda x: integral_l1_loss(x, jnp.asarray(gt),  # noqa: E731
+                                       jnp.asarray(vis),
+                                       norm_type=norm_type)
+        v, g = jax.value_and_grad(f)(
+            jnp.asarray(np.transpose(hm, (0, 2, 3, 1))))
+        np.testing.assert_allclose(float(v), float(want.detach()),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(g), (0, 3, 1, 2)),
+            t.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_golden_3d(self):
+        import torch
+
+        from mvsmplfitting_tpu.detect.train import integral_l1_loss
+
+        L1 = _ref_l1_joint_regression()
+        ref = L1(OUTPUT_3D=True, NORM_TYPE="softmax")
+        rng = np.random.default_rng(1)
+        N, J, D, H, W = 2, 3, 4, 4, 6
+        hm = rng.standard_normal((N, J * D, H, W)).astype(np.float32)
+        gt = rng.uniform(-0.5, 0.5, (N, J * 3)).astype(np.float32)
+        vis = np.ones((N, J * 3), np.float32)
+
+        t = torch.from_numpy(hm.copy()).requires_grad_(True)
+        want = ref(t, torch.from_numpy(gt), torch.from_numpy(vis))
+        want.backward()
+
+        f = lambda x: integral_l1_loss(x, jnp.asarray(gt),  # noqa: E731
+                                       jnp.asarray(vis),
+                                       output_3d=True)
+        v, g = jax.value_and_grad(f)(
+            jnp.asarray(np.transpose(hm, (0, 2, 3, 1))))
+        np.testing.assert_allclose(float(v), float(want.detach()),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(g), (0, 3, 1, 2)),
+            t.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_integral_targets_np(self):
+        from mvsmplfitting_tpu.detect.train import integral_targets_np
+        joints = np.asarray([[96.0, 64.0], [0.0, 256.0]])
+        vis = np.asarray([1.0, 0.0])
+        t, w = integral_targets_np(joints, vis, (256, 192))
+        np.testing.assert_allclose(t, [0.0, -0.25, -0.5, 0.5])
+        np.testing.assert_allclose(w, [1, 1, 0, 0])
+
+    def test_train_step_learns(self):
+        """An integral train step reduces the loss on a fixed batch."""
+        from mvsmplfitting_tpu.detect.train import (
+            init_train_state, make_integral_train_step, make_optimizer)
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = nn.Conv(8, (3, 3))(x)
+                x = nn.relu(x)
+                return nn.Conv(3, (1, 1))(x)   # J=3 heatmaps
+
+        rng = np.random.default_rng(2)
+        model = Tiny()
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 12, 3)))
+        tx = make_optimizer("adam", 1e-2)
+        state = init_train_state(v, tx)
+        step = make_integral_train_step(model, tx)
+        batch = {
+            "image": jnp.asarray(
+                rng.uniform(0, 1, (4, 16, 12, 3)).astype(np.float32)),
+            "target": jnp.asarray(
+                rng.uniform(-0.4, 0.4, (4, 6)).astype(np.float32)),
+            "target_weight": jnp.ones((4, 6), jnp.float32),
+        }
+        losses = []
+        for _ in range(150):
+            state, loss, _ = step(state, batch)
+            losses.append(float(loss))
+        # The ±2 surrogate gradient descends slowly but steadily.
+        assert losses[-1] < losses[0] * 0.8, losses[::30]
+
+
 class TestHeatmapTargets:
     def test_golden_vs_simple_transform(self):
         _stub_torch_deps()

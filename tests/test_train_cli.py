@@ -60,6 +60,25 @@ class TestTrainDataset:
         # weights only where visible (and in-window)
         assert set(np.unique(b["target_weight"])) <= {0.0, 1.0}
 
+    def test_integral_targets_mode(self, coco_ws):
+        """loss_type='integral' yields L1JointRegression's contract:
+        normalized coords + per-coordinate weights."""
+        from mvsmplfitting_tpu.detect.dataset import CocoPoseTrainDataset
+        ann, img_root = coco_ws
+        ds = CocoPoseTrainDataset(ann, img_root, input_size=(64, 48),
+                                  heatmap_size=(16, 12), batch_size=3,
+                                  seed=1, loss_type="integral")
+        b = next(iter(ds))
+        assert b["image"].shape == (3, 64, 48, 3)
+        assert b["target"].shape == (3, 34)
+        assert b["target_weight"].shape == (3, 34)
+        vis = b["target_weight"] > 0
+        # visible coords are normalized to [-0.5, 0.5]
+        assert np.abs(b["target"][vis]).max() <= 0.5 + 1e-6
+        # x and y weights are duplicated per joint
+        w = b["target_weight"].reshape(3, 17, 2)
+        np.testing.assert_array_equal(w[..., 0], w[..., 1])
+
     def test_epochs_reshuffle(self, coco_ws):
         from mvsmplfitting_tpu.detect.dataset import CocoPoseTrainDataset
         ann, img_root = coco_ws
@@ -89,6 +108,18 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(out, "ema.npz"))
         lines = open(os.path.join(out, "train_metrics.jsonl")).read()
         assert "loss" in lines
+
+    def test_integral_loss_end_to_end(self, coco_ws, tmp_path):
+        from mvsmplfitting_tpu.cli.train_pose import main
+        ann, img_root = coco_ws
+        out = str(tmp_path / "irun")
+        main(["--ann", ann, "--img_root", img_root,
+              "--model", "simplepose", "--num_joints", "17",
+              "--input_size", "128x96", "--heatmap_size", "32x24",
+              "--batch", "3", "--epochs", "1", "--max_steps", "2",
+              "--deconv", "32,32,32", "--loss_type", "integral",
+              "--out", out])
+        assert os.path.exists(os.path.join(out, "last.npz"))
 
 
 @pytest.fixture(scope="module")

@@ -267,6 +267,14 @@ def detect_bench():
         dtype=jnp.bfloat16)
     one("fastpose_r50_256x192_b80_bf16", FastPose(), pose_x,
         dtype=jnp.bfloat16)
+
+    # HybrIK direct SMPL regression (net only; IK+LBS is a separate
+    # tiny graph) — the streaming `run_stream_smpl` hot path.
+    from mvsmplfitting_tpu.detect.hybrik import Simple3DPoseSMPLCam
+    hyb_x = jnp.asarray(rng.standard_normal((16, 256, 256, 3)),
+                        jnp.float32)
+    one("hybrik_r50_256x256_b16",
+        Simple3DPoseSMPLCam(width_dim=64, height_dim=64), hyb_x)
     print(json.dumps({"metric": "detect_bench", "detail": out}))
 
 

@@ -43,6 +43,14 @@ def main(argv=None) -> int:
                    help="parametric pose NMS for crowded scenes")
     p.add_argument("--bf16", action="store_true",
                    help="run the conv graphs in bfloat16 on the MXU")
+    p.add_argument("--smpl", action="store_true",
+                   help="streaming mode: direct SMPL regression "
+                        "(HybrIK) with mesh-overlay video + results "
+                        "JSON instead of 2D keypoints (the reference's "
+                        "writer_smpl.py demo)")
+    p.add_argument("--smpl_ckpt", default=None,
+                   help="HybrIK torch checkpoint (random init if "
+                        "absent)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -70,6 +78,24 @@ def main(argv=None) -> int:
                       flip_test=args.flip_test,
                       use_pose_nms=args.pose_nms,
                       compute_dtype=dtype))
+
+    if args.video is not None and args.smpl:
+        from ..detect.predictor import SmplPoseEstimator
+        from ..detect.stream import run_stream_smpl
+        smpl_params = None
+        if args.smpl_ckpt:
+            from ..detect.convert import convert_hybrik
+            smpl_params = convert_hybrik(args.smpl_ckpt)
+        src = int(args.video) if args.video.isdigit() else args.video
+        out_dir = args.data_folder or "."
+        start = time.time()
+        n = run_stream_smpl(
+            src, pipeline.detector,
+            SmplPoseEstimator(smpl_params, compute_dtype=dtype),
+            out_json=os.path.join(out_dir, "smpl-results.json"),
+            out_video=args.out_video, max_frames=args.max_frames)
+        print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")
+        return 0
 
     if args.video is not None:
         from ..detect.stream import run_stream

@@ -20,7 +20,8 @@ from .preprocess import (
     letterbox, bbox_to_center_scale, crop_affine, heatmap_to_coords,
     heatmap_to_coords_integral,
 )
-from .predictor import PersonDetector, PoseEstimator, KeypointPipeline
+from .predictor import (KeypointPipeline, PersonDetector, PoseEstimator,
+                        SmplPoseEstimator)
 from .roi_align import roi_align, align_transform, clip_aspect_ratio
 from .deform_conv import deform_conv2d, dcn_offset_mask_split
 from .hybrik import Simple3DPoseSMPLCam, integral_uvd, uvd_to_xyz
@@ -34,4 +35,4 @@ from .dataset import (CocoDetTrainDataset, CocoPoseEvalDataset,
 from .zoo import POSE_MODELS, build_pose_model
 from .deform_pool import (DeformRoIPoolingPack,
                           ModulatedDeformRoIPoolingPack, deform_roi_pool)
-from .stream import frame_source, run_stream
+from .stream import frame_source, run_stream, run_stream_smpl

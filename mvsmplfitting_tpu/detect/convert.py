@@ -436,6 +436,30 @@ def convert_fastpose_duc_dense_sd(sd: Dict, num_convs=(4, 2, 1),
 
 
 # Zoo-name -> checkpoint converter (same keys as `zoo.POSE_MODELS`).
+def convert_hybrik(path: str) -> Dict:
+    """Convert a HybrIK (`simple3dposeSMPLWithCam`) checkpoint."""
+    return convert_hybrik_sd(load_torch_state_dict(path))
+
+
+def convert_hybrik_sd(sd: Dict) -> Dict:
+    """`simple3dposeSMPLWithCam.py:32-127` state_dict -> flax
+    variables for `Simple3DPoseSMPLCam`: the SimplePose trunk
+    (preact ResNet + 3 deconv/BN + final 1x1) plus the FC camera/
+    shape/twist heads (`:103-110`; dropout is stateless)."""
+    t = _Tree()
+    _resnet_backbone(t, sd, "preact", "preact")
+    for i, idx in enumerate((0, 3, 6)):       # Sequential positions
+        t.params[f"deconv{i + 1}"] = _deconv(
+            sd, f"deconv_layers.{idx}")
+        t.params[f"bn{i + 1}"] = _bn(sd, f"deconv_layers.{idx + 1}")
+        t.stats[f"bn{i + 1}"] = _bn_stats(sd,
+                                          f"deconv_layers.{idx + 1}")
+    t.params["final"] = _conv_b(sd, "final_layer")
+    for name in ("fc1", "fc2", "decshape", "decphi", "deccam"):
+        t.params[name] = _dense(sd, name)
+    return {"params": t.params, "batch_stats": t.stats}
+
+
 POSE_CONVERTERS = {
     "fastpose": convert_fastpose,
     "simplepose": convert_simplepose,
@@ -443,4 +467,5 @@ POSE_CONVERTERS = {
     "hardnet": convert_hardnet,
     "fastpose_duc": convert_fastpose_duc,
     "fastpose_duc_dense": convert_fastpose_duc_dense,
+    "hybrik": convert_hybrik,
 }

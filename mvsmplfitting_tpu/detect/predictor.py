@@ -161,6 +161,131 @@ class PoseEstimator:
             [coords, conf[..., None]], axis=-1).astype(np.float32)
 
 
+class SmplPoseEstimator:
+    """HybrIK-style direct SMPL regression from person crops.
+
+    The model side of the reference's SMPL streaming demo
+    (`alphapose_core/alphapose/utils/writer_smpl.py` +
+    `models/simple3dposeSMPLWithCam.py`): each box is cropped, the
+    Simple3DPoseSMPLCam net regresses a 29-joint uvd skeleton, shape,
+    twists and a weak-perspective camera, and the analytical
+    twist-and-swing IK (`models/hybrik.py`) poses the SMPL body.  All
+    people across a frame run as one batched jit call; IK + LBS are a
+    second vmapped jit.
+    """
+
+    def __init__(self, params=None, assets=None,
+                 input_hw: Tuple[int, int] = (256, 256),
+                 seed: int = 0, batch: int = 16,
+                 focal_length: float = 1000.0, depth_factor: float = 2.0,
+                 compute_dtype=None):
+        from ..models.assets import synthetic_smpl
+        from ..models.hybrik import forward_rotmats, hybrik_ik
+        from .hybrik import Simple3DPoseSMPLCam, uvd_to_xyz
+
+        ih, iw = input_hw
+        self.model = Simple3DPoseSMPLCam(
+            width_dim=iw // 4, height_dim=ih // 4,
+            focal_length=focal_length, input_size=float(ih),
+            depth_factor=depth_factor)
+        self.input_hw = input_hw
+        self.batch = batch
+        self.focal_length = focal_length
+        self.depth_factor = depth_factor
+        # The real SMPL pkl is license-gated; the synthetic body keeps
+        # shapes/semantics (swap in `load_smpl(...)` assets for output
+        # meshes that are actual human bodies).
+        self.assets = assets if assets is not None else synthetic_smpl()
+        self.faces = np.asarray(self.assets.faces)
+        if params is None:
+            dummy = jnp.zeros((1, *input_hw, 3))
+            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if compute_dtype is not None:
+            params = cast_floats(params, compute_dtype)
+        self.params = params
+        self._apply = _make_apply(self.model, compute_dtype)
+
+        assets_ = self.assets
+
+        def _bodies(uvd, phis, betas, cam):
+            xyz, root = uvd_to_xyz(uvd, cam, focal_length,
+                                   float(ih), depth_factor)
+            skel = xyz * depth_factor            # root-relative meters
+
+            def one(sk, ph, be):
+                # cos/sin twists are normalized before use
+                # (`simple3dposeSMPLWithCam.py` HybrIK layer contract).
+                ph = ph / jnp.clip(
+                    jnp.linalg.norm(ph, axis=-1, keepdims=True), 1e-8)
+                rots = hybrik_ik(assets_, sk, be, ph)
+                verts, _ = forward_rotmats(assets_, be, rots)
+                return verts
+
+            return jax.vmap(one)(skel, phis, betas), xyz, root
+
+        self._bodies = jax.jit(_bodies)
+
+    def estimate(self, img_rgb01: np.ndarray, boxes_xyxy: np.ndarray):
+        """Image ([0,1] RGB) + boxes (M, >=4) -> per-person dict.
+
+        Returns keys (shapes for M people, V template verts):
+          ``keypoints`` (M, 29, 2) image-space uv joints — the
+          reference's width-only crop scaling (`writer_smpl.py:108-114`;
+          exact for its square crops), ``kp_score`` (M, 29, 1) =
+          ``1 - maxvals`` (quirk at `:116`), ``pred_xyz_jts`` (M, 24, 3)
+          root-relative metric joints, ``verts`` (M, V, 3) camera-frame
+          meshes, ``proposal_score`` (M,) =
+          mean(kp) + box + 1.25*max(kp) (`:131`), plus ``centers`` /
+          ``scales`` of the crops.
+        """
+        J = self.model.num_joints
+        if len(boxes_xyxy) == 0:
+            z = np.zeros
+            return {"keypoints": z((0, J, 2), np.float32),
+                    "kp_score": z((0, J, 1), np.float32),
+                    "pred_xyz_jts": z((0, 24, 3), np.float32),
+                    "verts": z((0, len(self.assets.v_template), 3),
+                               np.float32),
+                    "proposal_score": z((0,), np.float32),
+                    "centers": z((0, 2), np.float32),
+                    "scales": z((0, 2), np.float32)}
+        ih, iw = self.input_hw
+        centers, scales = bbox_to_center_scale(
+            boxes_xyxy[:, :4], aspect_ratio=iw / ih)
+        crops = crop_affine(jnp.asarray(img_rgb01),
+                            jnp.asarray(centers), jnp.asarray(scales),
+                            self.input_hw)
+        outs = []
+        for i in range(0, crops.shape[0], self.batch):
+            chunk = normalize_crops(crops[i:i + self.batch])
+            outs.append(self._apply(self.params, chunk))
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        verts, xyz, root = self._bodies(
+            out["pred_uvd_jts"], out["pred_phi"], out["pred_shape"],
+            out["pred_camera"])
+
+        uvd = np.asarray(out["pred_uvd_jts"])
+        kp_score = 1.0 - np.asarray(out["maxvals"])
+        # Width-only scaling of BOTH axes (`writer_smpl.py:112-114`).
+        uv_img = (uvd[:, :, :2] * scales[:, None, 0:1]
+                  + centers[:, None, :])
+        box_score = (boxes_xyxy[:, 4]
+                     if boxes_xyxy.shape[1] > 4
+                     else np.ones(len(boxes_xyxy), np.float32))
+        proposal = (kp_score.mean((1, 2)) + box_score
+                    + 1.25 * kp_score.max((1, 2)))
+        verts_cam = np.asarray(verts) + np.asarray(root)[:, None, :]
+        return {"keypoints": uv_img.astype(np.float32),
+                "kp_score": kp_score.astype(np.float32),
+                "pred_xyz_jts": (np.asarray(xyz)[:, :24]
+                                 * self.depth_factor).astype(np.float32),
+                "verts": verts_cam.astype(np.float32),
+                "proposal_score": proposal.astype(np.float32),
+                "centers": centers.astype(np.float32),
+                "scales": scales.astype(np.float32)}
+
+
 class KeypointPipeline:
     """Detector + pose net + JSON writer (= `keypoint_predict.py`)."""
 

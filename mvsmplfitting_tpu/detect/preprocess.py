@@ -197,6 +197,19 @@ MPII16_FLIP_PAIRS = ((0, 5), (1, 4), (2, 3),
                      (10, 15), (11, 14), (12, 13))
 
 
+def flip_pairs_for(num_joints: int, fmt=None):
+    """Flip-pair table by format name or joint count.
+
+    The reference carries these on its 15 dataset classes
+    (`alphapose/datasets/*.py: joint_pairs`); the full family —
+    halpe-68/136, coco-wholebody-133, hands — lives in the skeleton
+    registry (`viz/skeletons.py`) and is resolved here for training
+    augmentation and flip-test ensembling.
+    """
+    from ..viz.skeletons import skeleton_for
+    return skeleton_for(num_joints, fmt).flip_pairs
+
+
 def flip_heatmap(hms: jnp.ndarray, joint_pairs=COCO_FLIP_PAIRS,
                  shift: bool = True) -> jnp.ndarray:
     """Un-flip heatmaps predicted on horizontally-mirrored crops

@@ -56,12 +56,16 @@ def _rasterize(img: np.ndarray, verts: np.ndarray, faces: np.ndarray,
     tri_pix = pix[faces]                    # (F, 3, 2)
     tri_depth = depth[faces].mean(axis=1)   # (F,)
 
-    # Cull behind-camera and offscreen faces.
+    # Cull behind-camera, offscreen, and non-finite faces (un-converged
+    # or random-weight inputs can carry NaN verts; int-casting NaN is
+    # undefined).
     valid = (depth[faces] > 1e-6).all(axis=1)
-    inside = ((tri_pix[..., 0] > -w) & (tri_pix[..., 0] < 2 * w) &
-              (tri_pix[..., 1] > -h) & (tri_pix[..., 1] < 2 * h)
-              ).all(axis=1)
-    valid &= inside
+    with np.errstate(invalid="ignore"):
+        inside = ((tri_pix[..., 0] > -w) & (tri_pix[..., 0] < 2 * w) &
+                  (tri_pix[..., 1] > -h) & (tri_pix[..., 1] < 2 * h)
+                  ).all(axis=1)
+    valid &= inside & np.isfinite(tri_pix).all(axis=(1, 2))
+    tri_pix = np.nan_to_num(tri_pix, posinf=0.0, neginf=0.0)
 
     # Lambert shading from the face normal vs the view direction.
     tri_w = verts[faces]                    # (F, 3, 3)
@@ -146,8 +150,10 @@ def draw_keypoints(img: np.ndarray, keypoints: np.ndarray,
     """Draw a skeleton (x, y, conf) onto the image in place.
 
     The edge table follows the joint count: 26 -> Halpe-26 (AlphaPose's
-    native set), otherwise COCO17 (extra joints beyond either table
-    still get circles).
+    native set), 17 -> COCO17, and any other count resolves through the
+    skeleton registry (`viz/skeletons.py` — halpe-68/136, wholebody-133,
+    mpii-16, hands); unknown counts fall back to COCO17 with extra
+    joints still getting circles.
     """
     import cv2
 
@@ -159,7 +165,13 @@ def draw_keypoints(img: np.ndarray, keypoints: np.ndarray,
           & (kp[:, 2] > conf_thresh))
     pts = np.round(np.clip(np.nan_to_num(kp[:, :2]), -1e8, 1e8)
                    ).astype(np.int32)
-    edges = HALPE26_EDGES if len(kp) == 26 else COCO17_EDGES
+    if len(kp) == 26:
+        edges = HALPE26_EDGES
+    elif len(kp) == 17:
+        edges = COCO17_EDGES
+    else:
+        from .skeletons import skeleton_for
+        edges = skeleton_for(len(kp)).limbs
     for a, b in edges:
         if a < len(kp) and b < len(kp) and ok[a] and ok[b]:
             cv2.line(img, tuple(int(v) for v in pts[a]),

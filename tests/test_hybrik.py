@@ -148,3 +148,100 @@ class TestNetwork:
             assert np.isfinite(np.asarray(v)).all()
         # uvd expectations live inside the decode's value range
         assert float(jnp.abs(out["pred_uvd_jts"]).max()) <= 0.5
+
+
+class TestConverterParity:
+    def test_full_graph_matches_torch_random_weights(self, rng):
+        """The reference's exact module layout
+        (`simple3dposeSMPLWithCam.py:32-127`: preact ResNet-50,
+        `_make_deconv_layer` stack, final 1x1, fc1/fc2 + dec heads —
+        no ReLU between the FCs, dropout eval-identity), random
+        weights + randomized BN stats, converted with
+        `convert_hybrik_sd`.  The uvd decode applies OUR
+        (numpy-golden) `integral_uvd` to the torch volume so the
+        assertion isolates converter + architecture parity."""
+        import importlib.util
+        import sys
+
+        import torch
+        import torch.nn as tnn
+
+        path = ("/root/reference/alphapose_core/alphapose/models/"
+                "layers/Resnet.py")
+        spec = importlib.util.spec_from_file_location("apx_resnet_h",
+                                                      path)
+        rmod = importlib.util.module_from_spec(spec)
+        sys.modules["apx_resnet_h"] = rmod
+        spec.loader.exec_module(rmod)
+
+        J, D, F = 29, 8, 64   # narrow deconvs + depth for speed
+
+        class THybrik(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.preact = rmod.ResNet("resnet50")
+                self.deconv_layers = tnn.Sequential(
+                    tnn.ConvTranspose2d(2048, F, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(F), tnn.ReLU(True),
+                    tnn.ConvTranspose2d(F, F, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(F), tnn.ReLU(True),
+                    tnn.ConvTranspose2d(F, F, 4, 2, 1, bias=False),
+                    tnn.BatchNorm2d(F), tnn.ReLU(True))
+                self.final_layer = tnn.Conv2d(F, J * D, 1)
+                self.avg_pool = tnn.AdaptiveAvgPool2d(1)
+                self.fc1 = tnn.Linear(2048, 1024)
+                self.fc2 = tnn.Linear(1024, 1024)
+                self.decshape = tnn.Linear(1024, 10)
+                self.decphi = tnn.Linear(1024, 23 * 2)
+                self.deccam = tnn.Linear(1024, 3)
+
+            def forward(self, x):
+                feat = self.preact(x)
+                vol = self.final_layer(self.deconv_layers(feat))
+                xc = self.avg_pool(feat).flatten(1)
+                xc = self.fc2(self.fc1(xc))
+                return (vol, self.decshape(xc), self.decphi(xc),
+                        self.deccam(xc))
+
+        torch.manual_seed(0)
+        tm = THybrik()
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            vol_t, shape_t, phi_t, cam_t = tm(
+                torch.from_numpy(x).permute(0, 3, 1, 2))
+        H = W = 16
+        vol_t = vol_t.reshape(1, J, D, H, W).numpy()
+        want_uvd, want_max = integral_uvd(jnp.asarray(vol_t), W, H, D)
+
+        from mvsmplfitting_tpu.detect.convert import convert_hybrik_sd
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_hybrik_sd(sd))
+        model = Simple3DPoseSMPLCam(
+            num_joints=J, depth_dim=D, height_dim=H, width_dim=W,
+            deconv_filters=(F, F, F))
+        out = model.apply(variables, jnp.asarray(x))
+
+        np.testing.assert_allclose(np.asarray(out["pred_uvd_jts"]),
+                                   np.asarray(want_uvd),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(out["maxvals"]),
+                                   np.asarray(want_max),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(out["pred_shape"]),
+                                   shape_t.numpy(), atol=2e-4,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_phi"]).reshape(1, -1),
+            phi_t.numpy(), atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_camera"]) - np.array([0.9, 0, 0]),
+            cam_t.numpy(), atol=2e-4, rtol=1e-3)

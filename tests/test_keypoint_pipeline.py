@@ -105,3 +105,60 @@ class TestStream:
         vids = [p for p in os.listdir(tmp_path)
                 if p.startswith("out.")]
         assert vids  # mp4 or the MJPG fallback
+
+
+class TestStreamSmpl:
+    """`run_stream_smpl` = the reference's DataWriterSMPL pipeline
+    (`alphapose/utils/writer_smpl.py`): HybrIK regression per box,
+    aggregated results JSON, mesh-overlay video."""
+
+    def test_smpl_stream_end_to_end(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        from mvsmplfitting_tpu.detect.predictor import (
+            PersonDetector, SmplPoseEstimator,
+        )
+        from mvsmplfitting_tpu.detect.stream import run_stream_smpl
+
+        d = tmp_path / "imgs"
+        os.makedirs(d)
+        for i in range(2):
+            cv2.imwrite(str(d / f"f{i}.jpg"),
+                        rng.integers(0, 255, (48, 64, 3), np.uint8))
+        det = PersonDetector(input_hw=(64, 96), conf_thresh=0.3,
+                             depth_mul=0.33, width_mul=0.25)
+        smpl = SmplPoseEstimator(input_hw=(64, 64))
+        oj = str(tmp_path / "smpl-results.json")
+        ov = str(tmp_path / "out.mp4")
+        n = run_stream_smpl(str(d), det, smpl, out_json=oj,
+                            out_video=ov, chunk=2, draw_skeleton=True)
+        assert n == 2
+        res = json.load(open(oj))
+        assert [r["imgname"] for r in res] == ["000000.jpg",
+                                               "000001.jpg"]
+        for r in res:
+            for person in r["result"]:
+                # the DataWriterSMPL result contract
+                # (`writer_smpl.py:122-137`)
+                kp = np.asarray(person["keypoints"])
+                assert kp.shape == (29, 2) and np.isfinite(kp).all()
+                assert np.asarray(person["pred_xyz_jts"]).shape == (24, 3)
+                assert np.asarray(person["kp_score"]).shape == (29, 1)
+                assert len(person["box"]) == 4
+                assert len(person["crop_box"]) == 4
+                # proposal_score = mean + bbox + 1.25*max
+                s = np.asarray(person["kp_score"])
+                expect = (s.mean() + person["bbox_score"]
+                          + 1.25 * s.max())
+                assert abs(person["proposal_score"] - expect) < 1e-5
+        assert [p for p in os.listdir(tmp_path) if p.startswith("out.")]
+
+    def test_zero_boxes_frame(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        from mvsmplfitting_tpu.detect.predictor import SmplPoseEstimator
+
+        smpl = SmplPoseEstimator(input_hw=(64, 64))
+        out = smpl.estimate(
+            rng.uniform(0, 1, (48, 64, 3)).astype(np.float32),
+            np.zeros((0, 5), np.float32))
+        assert out["keypoints"].shape == (0, 29, 2)
+        assert out["verts"].shape[0] == 0

@@ -1,0 +1,182 @@
+"""Skeleton registry golden tests.
+
+The tables in `viz/skeletons.py` are data contracts of the public
+keypoint formats; rather than importing the reference's torch/tkinter-
+heavy modules, these tests AST-parse the reference sources
+(`alphapose/utils/vis.py` limb/color tables, `alphapose/datasets/*.py`
+flip pairs and lower-body ids) and assert our tables are exactly the
+same constants.
+"""
+
+import ast
+import os
+
+import numpy as np
+import pytest
+
+from mvsmplfitting_tpu.viz import skeletons as sk
+
+REF = "/root/reference/alphapose_core/alphapose"
+
+
+def _eval_node(node, consts):
+    if isinstance(node, (ast.Tuple, ast.List)):
+        return tuple(_eval_node(e, consts) for e in node.elts)
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.Name):
+        return consts[node.id]
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+        return -_eval_node(node.operand, consts)
+    raise ValueError(ast.dump(node))
+
+
+def _collect(path, names):
+    """All module/class/function-level assignments to ``names`` in the
+    file, in source order, as tuples; plus ``return [...]`` bodies of
+    functions named in ``names`` (the mpii property form)."""
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    consts, found = {}, []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                key = (t.id if isinstance(t, ast.Name)
+                       else t.attr if isinstance(t, ast.Attribute)
+                       else None)
+                if key is None:
+                    continue
+                try:
+                    val = _eval_node(node.value, consts)
+                except (ValueError, KeyError):
+                    continue
+                if key in names:
+                    found.append((key, val))
+                elif key.isupper():        # color constants RED/BLUE/...
+                    consts[key] = val
+        if isinstance(node, ast.FunctionDef) and node.name in names:
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Return) and sub.value is not None:
+                    try:
+                        found.append((node.name,
+                                      _eval_node(sub.value, consts)))
+                    except (ValueError, KeyError):
+                        pass
+    return found
+
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference not present")
+
+
+@needs_ref
+class TestGoldenTables:
+    def test_flip_pairs_match_dataset_classes(self):
+        cases = {
+            "mscoco.py": sk.SKELETONS["coco17"].flip_pairs,
+            "mpii.py": sk.MPII16_FLIP,
+            "halpe_26.py": sk.HALPE26_FLIP,
+            "halpe_68_noface.py": sk.HALPE68_FLIP,
+            "halpe_136.py": sk.HALPE136_FLIP,
+            "coco_wholebody.py": sk.WB133_FLIP,
+        }
+        for fname, ours in cases.items():
+            got = _collect(os.path.join(REF, "datasets", fname),
+                           {"joint_pairs"})
+            assert got, fname
+            assert got[0][1] == ours, fname
+
+    def test_single_hand_has_no_flip_pairs(self):
+        got = _collect(os.path.join(REF, "datasets", "single_hand.py"),
+                       {"joint_pairs"})
+        assert got[0][1] == () == sk.SKELETONS["hand21"].flip_pairs
+
+    def test_lower_body_ids_match(self):
+        for fname, ours in {
+                "halpe_26.py": sk.SKELETONS["halpe26"].lower_body_ids,
+                "halpe_136.py": sk.SKELETONS["halpe136"].lower_body_ids,
+                "coco_wholebody.py":
+                    sk.SKELETONS["coco_wholebody133"].lower_body_ids,
+        }.items():
+            got = _collect(os.path.join(REF, "datasets", fname),
+                           {"lower_body_ids"})
+            assert got and got[0][1] == ours, fname
+
+    def test_limb_and_color_tables_match_vis(self):
+        """Every spec's (limbs, point_colors, line_colors) equals one of
+        the reference's inline `vis_frame` table triples exactly
+        (`vis.py:289-432` declares one per joint count)."""
+        path = os.path.join(REF, "utils", "vis.py")
+        lp = [v for _, v in _collect(path, {"l_pair"})]
+        pc = [v for _, v in _collect(path, {"p_color"})]
+        lc = [v for _, v in _collect(path, {"line_color"})]
+        for name in ("coco17", "mpii16", "halpe26", "halpe68",
+                     "halpe136", "coco_wholebody133", "hand21"):
+            spec = sk.SKELETONS[name]
+            assert spec.limbs in lp, name
+            assert spec.point_colors in pc, name
+            if name != "hand21":   # single-hand declares no line_color
+                assert spec.line_colors in lc, name
+
+
+class TestSpecs:
+    @pytest.mark.parametrize("name", list(sk.SKELETONS))
+    def test_tables_well_formed(self, name):
+        spec = sk.SKELETONS[name]
+        top = spec.num_joints + (1 if spec.synthetic_neck else 0)
+        if name == "hand21":          # vis table spans two hands
+            top = 42
+        for a, b in spec.limbs:
+            assert 0 <= a < top and 0 <= b < top and a != b
+        # flip table is a fixed-point-free involution
+        perm = np.arange(spec.num_joints)
+        for a, b in spec.flip_pairs:
+            assert a != b
+            perm[a], perm[b] = perm[b], perm[a]
+        for a, b in spec.flip_pairs:
+            assert perm[a] == b and perm[b] == a
+        assert all(0 <= i < spec.num_joints
+                   for i in spec.lower_body_ids)
+
+    def test_lookup_by_count_and_name(self):
+        assert sk.skeleton_for(136).name == "halpe136"
+        assert sk.skeleton_for(133).name == "coco_wholebody133"
+        assert sk.skeleton_for(16).name == "mpii16"
+        assert sk.skeleton_for(17, "mpii16").name == "mpii16"
+        assert sk.skeleton_for(999).name == "coco17"
+
+    def test_flip_pairs_for_bridge(self):
+        from mvsmplfitting_tpu.detect.preprocess import flip_pairs_for
+        assert flip_pairs_for(68) == sk.HALPE68_FLIP
+        assert flip_pairs_for(17, "mpii16") == sk.MPII16_FLIP
+
+
+class TestVisFrame:
+    @pytest.mark.parametrize("name", list(sk.SKELETONS))
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_draws_every_format(self, name, fast, rng):
+        pytest.importorskip("cv2")
+        spec = sk.SKELETONS[name]
+        n = 42 if name == "hand21" else spec.num_joints
+        img = np.zeros((80, 80, 3), np.uint8)
+        kp = rng.uniform(5, 75, (n, 2))
+        scores = rng.uniform(0.5, 1.0, n)
+        out = sk.vis_frame(img, kp, scores, fmt=name, fast=fast,
+                           track_id=3 if fast else None,
+                           box=(2, 2, 70, 70) if fast else None)
+        assert out is img and img.any()
+
+    def test_threshold_suppresses_everything(self):
+        pytest.importorskip("cv2")
+        img = np.zeros((40, 40, 3), np.uint8)
+        kp = np.full((17, 2), 20.0)
+        sk.vis_frame(img, kp, np.zeros(17), vis_thresh=0.5)
+        assert not img.any()
+
+    def test_nonfinite_keypoints_are_safe(self):
+        pytest.importorskip("cv2")
+        img = np.zeros((40, 40, 3), np.uint8)
+        kp = np.full((26, 2), np.nan)
+        kp[0] = (1e12, -1e12)
+        sk.vis_frame(img, kp, np.ones(26))
+        assert not img.any()

@@ -94,7 +94,10 @@ def crop_affine(img: jnp.ndarray, centers: jnp.ndarray,
     return jax.vmap(one)(centers, scales)
 
 
-ALPHAPOSE_MEAN = jnp.asarray([0.406, 0.457, 0.480])  # RGB (`simple_transform.py:98-100`)
+# numpy on purpose — a module-level jnp constant would initialize the
+# XLA backend at import (breaks jax.distributed.initialize ordering).
+ALPHAPOSE_MEAN = np.asarray([0.406, 0.457, 0.480],
+                            np.float32)  # RGB (`simple_transform.py:98-100`)
 
 
 def normalize_crops(crops: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..models.camera import Camera
@@ -24,10 +25,13 @@ from ..ops.rotations import matrix_to_axis_angle
 from ..ops.triangulate import triangulate
 from .energy import LATENT_DIM
 
-TORSO = jnp.asarray([5, 6, 11, 12])  # LShoulder RShoulder LHip RHip
+# numpy on purpose: module-level jnp constants initialize the XLA
+# backend at import, which breaks `jax.distributed.initialize` (it must
+# run first) and costs a tunnel round-trip on the pinned TPU platform.
+TORSO = np.asarray([5, 6, 11, 12])  # LShoulder RShoulder LHip RHip
 
 
-def torso_indices(model_type: str) -> jnp.ndarray:
+def torso_indices(model_type: str) -> np.ndarray:
     """Shoulder+hip rows in the model's annotation order.
 
     coco17 and lsp14 both carry shoulders at 5/6 and hips at 11/12
@@ -36,7 +40,7 @@ def torso_indices(model_type: str) -> jnp.ndarray:
     2/5 and hips 9/12 (the reference never exercises that path — its
     smplx branch shape-errors before reaching the init)."""
     if model_type == "smplx":
-        return jnp.asarray([2, 5, 9, 12])
+        return np.asarray([2, 5, 9, 12])
     return TORSO
 
 

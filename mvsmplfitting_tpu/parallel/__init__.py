@@ -17,6 +17,7 @@ Here parallelism is first-class:
 
 from .mesh import make_mesh, frames_sharding, MeshLayout
 from .batched import batched_fit_frames, BatchedFitInputs
-from .camera_shard import camera_sharded_fit
+from .camera_shard import camera_sharded_fit, sharded_triangulate
 from .schur import schur_sequence_fit
-from .distributed import init_distributed, global_mesh
+from .distributed import (global_mesh, init_distributed,
+                          process_local_batch_slice)

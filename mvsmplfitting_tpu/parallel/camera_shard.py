@@ -116,6 +116,31 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
     return x, loss
 
 
+def sharded_triangulate(cam_l: Camera, gt2d: jnp.ndarray,
+                        conf: jnp.ndarray, view_mask: jnp.ndarray,
+                        axis_name: str = CAMERAS_AXIS) -> jnp.ndarray:
+    """Confidence-weighted DLT triangulation with the views sharded
+    over ``axis_name`` (call inside `shard_map`): each shard builds the
+    3x3 normal-equation blocks of its local views, one psum assembles
+    them, and the tiny solve is computed redundantly per shard.
+
+    Bit-identical (mod reduction order) to the single-device
+    `ops.triangulate.triangulate` (reference `recompute3D.py:22-62`).
+    Args are the LOCAL view slices: gt2d (Vl, K, 2), conf (Vl, K),
+    view_mask (Vl,).  Returns (K, 3).
+    """
+    from ..ops.triangulate import backproject_rays
+
+    nr = backproject_rays(cam_l, gt2d)
+    nmat = jnp.eye(3) - jnp.einsum("vka,vkb->vkab", nr, nr)
+    rn = jnp.einsum("vba,vkbc->vkac", cam_l.rotation, nmat)
+    w = (conf + 1e-6) * view_mask[:, None]
+    AtA = jnp.einsum("vk,vkab,vbc->kac", w, rn, cam_l.rotation)
+    Atb = jnp.einsum("vk,vkab,vb->ka", -w, rn, cam_l.translation)
+    AtA, Atb = jax.lax.psum((AtA, Atb), axis_name)
+    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+
+
 def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
                        obs: Observations, mesh: Mesh,
                        vposer_w=None, gmm=None,
@@ -153,25 +178,14 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
         def one_frame(o: Observations):
             # Initialization needs all views: triangulation's 3x3 normal
             # equations are themselves psum-assembled across the axis.
-            from ..ops.triangulate import triangulate
             from ..ops.alignment import umeyama
             from ..ops.rotations import matrix_to_axis_angle
             from ..models.smpl import SMPLParams, rest_joints
             from ..fitting.initialize import torso_indices
 
             rest = rest_joints(assets)
-            n_rays = o.conf + 1e-6
-            # local partial normal equations, psum over cameras
-            from ..ops.triangulate import backproject_rays
-            nr = backproject_rays(cam_l, o.gt2d)
-            nmat = (jnp.eye(3) -
-                    jnp.einsum("vka,vkb->vkab", nr, nr))
-            rn = jnp.einsum("vba,vkbc->vkac", cam_l.rotation, nmat)
-            w = n_rays * o.view_mask[:, None]
-            AtA = jnp.einsum("vk,vkab,vbc->kac", w, rn, cam_l.rotation)
-            Atb = jnp.einsum("vk,vkab,vb->ka", -w, rn, cam_l.translation)
-            AtA, Atb = jax.lax.psum((AtA, Atb), CAMERAS_AXIS)
-            joints3d = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+            joints3d = sharded_triangulate(cam_l, o.gt2d, o.conf,
+                                           o.view_mask)
 
             torso = torso_indices(assets.model_type)
             rot, trans, scale = umeyama(rest[torso], joints3d[torso],

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     p.add_argument("--num_joints", type=int, default=26)
     p.add_argument("--flip_test", action="store_true",
                    help="mirrored-batch heatmap ensembling")
+    p.add_argument("--format", default=None,
+                   help="keypoint format for the flip-test pair table "
+                        "(skeleton registry: halpe26/halpe136/...); "
+                        "default = the reference predictor's COCO-17 "
+                        "pairs regardless of joint count "
+                        "(`alphapose_core.py:249-253` quirk)")
     p.add_argument("--pose_nms", action="store_true",
                    help="parametric pose NMS for crowded scenes")
     p.add_argument("--bf16", action="store_true",
@@ -57,6 +63,7 @@ def main(argv=None) -> int:
 
     from ..detect.predictor import (KeypointPipeline, PersonDetector,
                                     PoseEstimator)
+    from ..detect.preprocess import flip_pairs_for
     from ..detect.zoo import build_pose_model
 
     det_params = pose_params = None
@@ -77,7 +84,10 @@ def main(argv=None) -> int:
                                              args.num_joints),
                       flip_test=args.flip_test,
                       use_pose_nms=args.pose_nms,
-                      compute_dtype=dtype))
+                      compute_dtype=dtype,
+                      **({"joint_pairs": flip_pairs_for(
+                          args.num_joints, args.format)}
+                         if args.format else {})))
 
     if args.video is not None and args.smpl:
         from ..detect.predictor import SmplPoseEstimator

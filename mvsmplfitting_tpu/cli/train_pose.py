@@ -29,6 +29,11 @@ def parse_args(argv=None):
     p.add_argument("--img_root", required=True)
     p.add_argument("--model", default="fastpose")
     p.add_argument("--num_joints", type=int, default=17)
+    p.add_argument("--format", default=None,
+                   help="keypoint format from the skeleton registry "
+                        "(halpe26/halpe68/halpe136/coco_wholebody133/"
+                        "mpii16/...) — sets the flip pairs and "
+                        "half-body ids; default COCO-17 tables")
     p.add_argument("--input_size", default="256x192",
                    help="HxW crop size")
     p.add_argument("--heatmap_size", default="64x48")
@@ -58,6 +63,27 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def aug_for_format(fmt, num_joints, input_hw):
+    """PoseAugConfig for a named keypoint format: flip pairs +
+    half-body ids from the skeleton registry (the reference carries
+    these on its 15 dataset classes).  None -> dataset default
+    (COCO-17 tables)."""
+    if fmt is None:
+        return None
+    from ..detect.augment import PoseAugConfig
+    from ..viz.skeletons import skeleton_for
+    spec = skeleton_for(num_joints, fmt)
+    if spec.num_joints != num_joints:
+        raise SystemExit(
+            f"--format {fmt} is a {spec.num_joints}-joint set, got "
+            f"--num_joints {num_joints}")
+    lower = set(spec.lower_body_ids)
+    return PoseAugConfig(
+        input_hw=input_hw, flip_pairs=spec.flip_pairs,
+        upper_body_ids=tuple(i for i in range(spec.num_joints)
+                             if i not in lower))
+
+
 def main(argv=None):
     args = parse_args(argv)
     import jax
@@ -78,6 +104,8 @@ def main(argv=None):
     ds = CocoPoseTrainDataset(args.ann, args.img_root, hw, hm,
                               batch_size=args.batch, sigma=args.sigma,
                               seed=args.seed,
+                              aug=aug_for_format(args.format,
+                                                 args.num_joints, hw),
                               loss_type=("integral" if integral
                                          else "heatmap"))
     if len(ds) == 0:

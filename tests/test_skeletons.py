@@ -180,3 +180,46 @@ class TestVisFrame:
         kp[0] = (1e12, -1e12)
         sk.vis_frame(img, kp, np.ones(26))
         assert not img.any()
+
+
+class TestFormatPlumbing:
+    def test_aug_for_format_builds_registry_config(self):
+        from mvsmplfitting_tpu.cli.train_pose import aug_for_format
+        cfg = aug_for_format("halpe136", 136, (256, 192))
+        assert cfg.flip_pairs == sk.HALPE136_FLIP
+        lower = set(sk.SKELETONS["halpe136"].lower_body_ids)
+        assert set(cfg.upper_body_ids) == set(range(136)) - lower
+        assert aug_for_format(None, 17, (256, 192)) is None
+        with pytest.raises(SystemExit):
+            aug_for_format("halpe136", 26, (256, 192))
+
+    def test_136_joint_flip_through_real_augmentation(self):
+        """flip_joints with the halpe-136 pairs is a label-consistent
+        mirror: flipping twice restores the original labels."""
+        from mvsmplfitting_tpu.detect.augment import flip_joints
+        rng = np.random.default_rng(0)
+        J, W = 136, 200
+        joints = rng.uniform(0, W, (J, 2)).astype(np.float32)
+        # all-visible: flip_joints keeps the reference's
+        # `coords *= visibility` zeroing quirk, which is (by design)
+        # not an involution for invisible joints
+        vis = np.ones(J, np.float32)
+        j1, v1 = flip_joints(joints, vis, W, sk.HALPE136_FLIP)
+        j2, v2 = flip_joints(j1, v1, W, sk.HALPE136_FLIP)
+        np.testing.assert_allclose(j2, joints, atol=1e-5)
+        np.testing.assert_allclose(v2, vis)
+        # the mirror actually moved unpaired x coords
+        assert not np.allclose(j1[:, 0], joints[:, 0])
+
+    def test_flip_heatmap_with_wholebody_pairs(self):
+        """flip_heatmap with a 133-channel map + registry pairs is an
+        involution (shift disabled)."""
+        import jax.numpy as jnp
+
+        from mvsmplfitting_tpu.detect.preprocess import flip_heatmap
+        rng = np.random.default_rng(1)
+        hm = jnp.asarray(rng.standard_normal((2, 8, 6, 133)),
+                         jnp.float32)
+        out = flip_heatmap(flip_heatmap(hm, sk.WB133_FLIP, shift=False),
+                           sk.WB133_FLIP, shift=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(hm))

@@ -206,3 +206,43 @@ class TestYoloxTrainCLI:
                 for ln in lines.splitlines()
                 if "val_box_map" in ln]
         assert vals and all(0.0 <= v <= 1.0 for v in vals)
+
+
+class TestFormatTrainCLI:
+    def test_halpe136_format_end_to_end(self, tmp_path):
+        """--format halpe136: 136-joint training with the registry's
+        flip pairs + half-body ids through the real driver."""
+        import cv2
+
+        from mvsmplfitting_tpu.cli.train_pose import main
+        img_dir = tmp_path / "images"
+        os.makedirs(img_dir)
+        rng = np.random.default_rng(0)
+        J = 136
+        images, anns = [], []
+        for i in range(3):
+            H, W = 120, 90
+            cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                        rng.integers(0, 255, (H, W, 3), np.uint8))
+            images.append({"id": i, "file_name": f"im{i}.jpg",
+                           "width": W, "height": H})
+            kp = np.zeros((J, 3), np.float32)
+            kp[:, 0] = rng.uniform(15, 75, J)
+            kp[:, 1] = rng.uniform(15, 105, J)
+            kp[:, 2] = 2
+            anns.append({"id": i, "image_id": i, "category_id": 1,
+                         "bbox": [10, 10, 70, 100],
+                         "keypoints": [float(v) for v in kp.ravel()],
+                         "num_keypoints": J})
+        ann = str(tmp_path / "gt.json")
+        with open(ann, "w") as f:
+            json.dump({"images": images, "annotations": anns,
+                       "categories": [{"id": 1, "name": "person"}]}, f)
+        out = str(tmp_path / "run")
+        main(["--ann", ann, "--img_root", str(img_dir),
+              "--model", "simplepose", "--num_joints", "136",
+              "--format", "halpe136",
+              "--input_size", "128x96", "--heatmap_size", "32x24",
+              "--batch", "3", "--epochs", "1", "--max_steps", "1",
+              "--deconv", "32,32,32", "--out", out])
+        assert os.path.exists(os.path.join(out, "last.npz"))

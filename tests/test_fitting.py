@@ -197,6 +197,25 @@ class TestSolvers:
         np.testing.assert_allclose(inv @ np.asarray(A), np.eye(30),
                                    atol=1e-3)
 
+    def test_schulz_badly_scaled_high_cond(self, rng):
+        """Jacobi-preconditioned Newton-Schulz regression guard: an
+        LM-style JtJ with parameter scales spanning 1e3 (cond ~1e6,
+        where the unpreconditioned r1 form lost all accuracy)."""
+        from mvsmplfitting_tpu.fitting.lm import _solve_spd
+
+        n = 51
+        J = (rng.standard_normal((120, n))
+             * np.logspace(0, 3, n)).astype(np.float32)
+        JtJ = J.T @ J
+        A = JtJ + 1e-3 * np.diag(np.diag(JtJ)).astype(np.float32)
+        b = rng.standard_normal(n).astype(np.float32)
+        want = np.linalg.solve(A.astype(np.float64),
+                               b.astype(np.float64))
+        got = np.asarray(_solve_spd(jnp.asarray(A), jnp.asarray(b),
+                                    "schulz"))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-4, rel
+
     def test_lbfgs_respects_mask(self):
         def fg(x):
             f = jnp.sum((x - jnp.asarray([1.0, 2.0, 3.0])) ** 2)

@@ -25,8 +25,11 @@ import time
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ann", required=True,
-                   help="COCO person_keypoints GT json")
-    p.add_argument("--img_root", required=True)
+                   help="COCO person_keypoints GT json; comma-list "
+                        "concatenates datasets (the reference's "
+                        "ConcatDataset / halpe_coco_wholebody merges)")
+    p.add_argument("--img_root", required=True,
+                   help="image root; comma-list pairs with --ann")
     p.add_argument("--model", default="fastpose")
     p.add_argument("--num_joints", type=int, default=17)
     p.add_argument("--format", default=None,
@@ -101,9 +104,14 @@ def main(argv=None):
     hw = tuple(int(v) for v in args.input_size.split("x"))
     hm = tuple(int(v) for v in args.heatmap_size.split("x"))
     integral = args.loss_type == "integral"
-    ds = CocoPoseTrainDataset(args.ann, args.img_root, hw, hm,
+    anns = args.ann.split(",")
+    roots = args.img_root.split(",")
+    ds = CocoPoseTrainDataset(anns if len(anns) > 1 else args.ann,
+                              roots if len(roots) > 1 else args.img_root,
+                              hw, hm,
                               batch_size=args.batch, sigma=args.sigma,
                               seed=args.seed,
+                              num_joints=args.num_joints,
                               aug=aug_for_format(args.format,
                                                  args.num_joints, hw),
                               loss_type=("integral" if integral

@@ -143,16 +143,29 @@ class CocoPoseTrainDataset:
     (static shapes; an epoch boundary reshuffles).
     """
 
-    def __init__(self, ann_file: str, img_root: str,
+    def __init__(self, ann_file, img_root,
                  input_size: Tuple[int, int] = (256, 192),
                  heatmap_size: Tuple[int, int] = (64, 48),
                  batch_size: int = 32, sigma: float = 2.0,
                  aug=None, seed: int = 0, min_keypoints: int = 1,
-                 loss_type: str = "heatmap"):
+                 loss_type: str = "heatmap", num_joints: int = 0):
+        """``ann_file`` / ``img_root`` may be lists: multiple COCO GT
+        jsons concatenate into one shuffled pool (the reference's
+        `datasets/concat_dataset.py` + the merged
+        `halpe_coco_wholebody_*` classes).  ``num_joints`` > 0
+        truncates wider GT rows / zero-pads narrower ones to a common
+        width — the merged classes' `keypoints[:num_joints*3]` rule
+        (`halpe_coco_wholebody_26.py:118,189`)."""
         from .augment import PoseAugConfig
         if loss_type not in ("heatmap", "integral"):
             raise ValueError(f"unknown loss_type {loss_type!r}")
-        self.img_root = img_root
+        ann_files = ([ann_file] if isinstance(ann_file, str)
+                     else list(ann_file))
+        img_roots = ([img_root] * len(ann_files)
+                     if isinstance(img_root, str) else list(img_root))
+        if len(img_roots) != len(ann_files):
+            raise ValueError("img_root list must match ann_file list")
+        self.img_roots = img_roots
         self.input_size = input_size
         self.heatmap_size = heatmap_size
         self.batch_size = batch_size
@@ -161,35 +174,46 @@ class CocoPoseTrainDataset:
         self.aug = aug or PoseAugConfig(input_hw=input_size)
         self.rng = np.random.default_rng(seed)
 
-        with open(ann_file) as f:
-            data = json.load(f)
-        self._file_names = {int(im["id"]): im.get("file_name")
-                            for im in data.get("images", [])}
+        self._file_names = {}
         self.entries = []
-        for a in data.get("annotations", []):
-            kp = a.get("keypoints")
-            if not kp or "bbox" not in a:
-                continue
-            kp = np.asarray(kp, np.float32).reshape(-1, 3)
-            if (kp[:, 2] > 0).sum() < min_keypoints:
-                continue
-            self.entries.append({
-                "image_id": int(a["image_id"]),
-                "bbox": [float(v) for v in a["bbox"]],    # xywh
-                "joints": kp[:, :2],
-                "vis": (kp[:, 2] > 0).astype(np.float32),
-            })
+        for src, path in enumerate(ann_files):
+            with open(path) as f:
+                data = json.load(f)
+            for im in data.get("images", []):
+                self._file_names[(src, int(im["id"]))] = \
+                    im.get("file_name")
+            for a in data.get("annotations", []):
+                kp = a.get("keypoints")
+                if not kp or "bbox" not in a:
+                    continue
+                kp = np.asarray(kp, np.float32).reshape(-1, 3)
+                if num_joints > 0:
+                    if len(kp) > num_joints:
+                        kp = kp[:num_joints]
+                    elif len(kp) < num_joints:
+                        kp = np.concatenate(
+                            [kp, np.zeros((num_joints - len(kp), 3),
+                                          np.float32)])
+                if (kp[:, 2] > 0).sum() < min_keypoints:
+                    continue
+                self.entries.append({
+                    "src": src,
+                    "image_id": int(a["image_id"]),
+                    "bbox": [float(v) for v in a["bbox"]],    # xywh
+                    "joints": kp[:, :2],
+                    "vis": (kp[:, 2] > 0).astype(np.float32),
+                })
         if self.entries:
             self.num_joints = self.entries[0]["joints"].shape[0]
 
     def __len__(self) -> int:
         return len(self.entries) // self.batch_size
 
-    def _img_path(self, image_id: int) -> str:
-        name = self._file_names.get(image_id)
+    def _img_path(self, src: int, image_id: int) -> str:
+        name = self._file_names.get((src, image_id))
         if name is None:
             name = f"{image_id:012d}.jpg"
-        return os.path.join(self.img_root, name)
+        return os.path.join(self.img_roots[src], name)
 
     def __iter__(self):
         import cv2
@@ -215,7 +239,8 @@ class CocoPoseTrainDataset:
             for i, idx in enumerate(order[start:start +
                                           self.batch_size]):
                 e = self.entries[idx]
-                img = cv2.imread(self._img_path(e["image_id"]))
+                img = cv2.imread(self._img_path(e.get("src", 0),
+                                                e["image_id"]))
                 if img is None:
                     continue
                 x, y, w, h = e["bbox"]

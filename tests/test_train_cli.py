@@ -246,3 +246,80 @@ class TestFormatTrainCLI:
               "--batch", "3", "--epochs", "1", "--max_steps", "1",
               "--deconv", "32,32,32", "--out", out])
         assert os.path.exists(os.path.join(out, "last.npz"))
+
+
+class TestConcatDataset:
+    def test_merged_annotation_files_with_width_cap(self, tmp_path):
+        """Two GT files with different joint counts (26 and 136)
+        concatenate into one 26-joint pool — the reference's
+        ConcatDataset + halpe_coco_wholebody `keypoints[:J*3]`
+        truncation rule (`halpe_coco_wholebody_26.py:118,189`)."""
+        import cv2
+
+        from mvsmplfitting_tpu.detect.dataset import CocoPoseTrainDataset
+
+        rng = np.random.default_rng(0)
+        anns, roots = [], []
+        for src, J in enumerate((26, 136)):
+            d = tmp_path / f"set{src}"
+            os.makedirs(d / "images")
+            images, annos = [], []
+            for i in range(2):
+                cv2.imwrite(str(d / "images" / f"im{i}.jpg"),
+                            rng.integers(0, 255, (60, 50, 3), np.uint8))
+                images.append({"id": i, "file_name": f"im{i}.jpg",
+                               "width": 50, "height": 60})
+                kp = np.zeros((J, 3), np.float32)
+                kp[:, 0] = rng.uniform(5, 45, J)
+                kp[:, 1] = rng.uniform(5, 55, J)
+                kp[:, 2] = 2
+                annos.append({"id": i, "image_id": i, "category_id": 1,
+                              "bbox": [5, 5, 40, 50],
+                              "keypoints": [float(v)
+                                            for v in kp.ravel()],
+                              "num_keypoints": J})
+            ann = d / "gt.json"
+            with open(ann, "w") as f:
+                json.dump({"images": images, "annotations": annos,
+                           "categories": [{"id": 1,
+                                           "name": "person"}]}, f)
+            anns.append(str(ann))
+            roots.append(str(d / "images"))
+
+        ds = CocoPoseTrainDataset(anns, roots, (64, 48), (16, 12),
+                                  batch_size=4, num_joints=26, seed=1)
+        assert len(ds.entries) == 4 and ds.num_joints == 26
+        assert {e["src"] for e in ds.entries} == {0, 1}
+        batch = next(iter(ds))
+        assert batch["image"].shape == (4, 64, 48, 3)
+        assert batch["target"].shape == (4, 16, 12, 26)
+        assert batch["image"].any()   # both sources' images loaded
+
+    def test_pad_narrow_gt_to_width(self, tmp_path):
+        """17-joint GT padded to 26 with zero visibility."""
+        import cv2
+
+        from mvsmplfitting_tpu.detect.dataset import CocoPoseTrainDataset
+
+        rng = np.random.default_rng(0)
+        d = tmp_path / "set"
+        os.makedirs(d / "images")
+        cv2.imwrite(str(d / "images" / "im0.jpg"),
+                    rng.integers(0, 255, (60, 50, 3), np.uint8))
+        kp = np.ones((17, 3), np.float32) * 10
+        gt = {"images": [{"id": 0, "file_name": "im0.jpg",
+                          "width": 50, "height": 60}],
+              "annotations": [{"id": 0, "image_id": 0, "category_id": 1,
+                               "bbox": [5, 5, 40, 50],
+                               "keypoints": [float(v)
+                                             for v in kp.ravel()],
+                               "num_keypoints": 17}],
+              "categories": [{"id": 1, "name": "person"}]}
+        with open(d / "gt.json", "w") as f:
+            json.dump(gt, f)
+        ds = CocoPoseTrainDataset(str(d / "gt.json"),
+                                  str(d / "images"), (64, 48), (16, 12),
+                                  batch_size=1, num_joints=26)
+        e = ds.entries[0]
+        assert e["joints"].shape == (26, 2)
+        assert e["vis"][:17].all() and not e["vis"][17:].any()

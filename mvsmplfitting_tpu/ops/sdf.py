@@ -404,6 +404,7 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                          grid_size: int = 32,
                          face_chunk: Optional[int] = None,
                          interpret: bool = False,
+                         cull: bool = True,
                          _max_lanes: int = 1024) -> jnp.ndarray:
     """Two-phase voxelizer: crossings first, distance only where needed.
 
@@ -411,12 +412,29 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
     every outside voxel (`sdf_cuda_kernel.cu:300-303`), so the exact
     point-triangle distance pass only has to run for voxel tiles that
     contain at least one INSIDE voxel.  Phase A computes crossing
-    parity for all voxels (~27% of the combined kernel's flops); an
-    XLA reduction derives per-tile inside flags; phase B runs the
-    distance chunk loop under `@pl.when(flag)` so dead tiles (the vast
-    majority — the body occupies a few % of the grid volume) skip all
-    face work.  Tiles default smaller here (1024 lanes) so the gating
-    is fine-grained even at small G.
+    parity for all voxels; an XLA reduction derives per-tile inside
+    flags; phase B runs the distance chunk loop under `@pl.when(flag)`
+    so dead tiles (the vast majority — the body occupies a few % of
+    the grid volume) skip all face work.  Tiles default smaller here
+    (1024 lanes) so the gating is fine-grained even at small G.
+
+    ``cull=True`` adds exact face-chunk culling on top (faces are
+    y-sorted so chunk AABBs are tight bands; fp min / integer sums are
+    order-independent, so reordering keeps bit-exactness):
+
+    * phase A: the reference's parity ray runs from the voxel center
+      through the grid corner (-1,-1,-1) with t >= 0
+      (`sdf_cuda_kernel.cu`, `ray_crossings_dir`), so every ray point
+      has y <= py and z <= pz — a chunk whose y_min exceeds the
+      tile's max y (a contiguous sorted prefix) or whose z_min
+      exceeds the slice z can never be crossed;
+    * phase B: chunks are visited in per-tile lower-bound order
+      (y/z-gap of the chunk AABB vs the tile band); the loop stops as
+      soon as the next bound exceeds the running WORST inside-lane
+      minimum — the remaining chunks provably cannot improve any
+      inside voxel, and outside voxels' phi is zeroed anyway.
+    Small fp margins on every bound keep the culls strictly
+    conservative.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -430,6 +448,10 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
     F = faces.shape[0]
     pad = (-F) % face_chunk
     tri = verts[faces]
+    if cull:
+        # Sort faces by y centroid so chunk AABBs are tight y bands.
+        order = jnp.argsort(tri[:, :, 1].mean(axis=1))
+        tri = tri[order]
     if pad:
         tri = jnp.concatenate(
             [tri, jnp.full((pad, 3, 3), 1e6, tri.dtype)], axis=0)
@@ -438,6 +460,7 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
 
     dx = 2.0 / (G - 1)
     C = face_chunk
+    MARGIN = 1e-4     # fp-safety slack on every cull bound
 
     def coords(k, t_id):
         cz = -1.0 + (k.astype(jnp.float32) + 0.5) * dx
@@ -447,64 +470,182 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
         py = -1.0 + ((lane // G).astype(jnp.float32) + 0.5) * dx
         return px, py, jnp.full_like(px, cz)
 
-    def cross_kernel(tri_ref, cross_ref):
-        px, py, pz = coords(pl.program_id(0), pl.program_id(1))
+    # --- chunk AABBs + tile bands (all XLA one-offs) -----------------
+    tri3 = tri_flat.reshape(n_chunks, C, 3, 3)
+    cy0 = tri3[..., 1].min(axis=(1, 2))              # (nc,)
+    cy1 = tri3[..., 1].max(axis=(1, 2))
+    cz0 = tri3[..., 2].min(axis=(1, 2))
+    cz1 = tri3[..., 2].max(axis=(1, 2))
+    z_line = -1.0 + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dx
+    # Tile t covers lanes [tL, (t+1)L) -> y rows lane//G (tiles need
+    # not start on row boundaries when L % G != 0).
+    lane0 = jnp.arange(T) * L
+    ty0 = -1.0 + ((lane0 // G).astype(jnp.float32) + 0.5) * dx
+    ty1 = -1.0 + (((lane0 + L - 1) // G).astype(jnp.float32)
+                  + 0.5) * dx                        # (T,) band y max
 
-        def body(c, run):
-            return run + _chunk_crossings(tri_ref[c], px, py, pz)
+    if cull:
+        # Phase A: conservative contiguous prefix over y-sorted chunks
+        # (last index whose y_min can still be crossed), plus a per-
+        # slice z mask.
+        can_y = cy0[None, :] <= ty1[:, None] + MARGIN       # (T, nc)
+        ny = jnp.max(jnp.where(
+            can_y, jnp.arange(n_chunks, dtype=jnp.int32) + 1, 0),
+            axis=1).reshape(T, 1)                           # (T, 1)
+        zmask = (cz0[None, :] <= z_line[:, None] + MARGIN
+                 ).astype(jnp.int32)                        # (G, nc)
 
-        cross_ref[0] = jax.lax.fori_loop(
-            0, n_chunks, body, jnp.zeros((1, L), jnp.int32))
+        # Phase B: per-tile (k, t) chunk lower bounds + visit order.
+        ygap = jnp.maximum(jnp.maximum(cy0[None, :] - ty1[:, None],
+                                       ty0[:, None] - cy1[None, :]),
+                           0.0)                             # (T, nc)
+        zgap = jnp.maximum(jnp.maximum(cz0[None, :] - z_line[:, None],
+                                       z_line[:, None] - cz1[None, :]),
+                           0.0)                             # (G, nc)
+        lb2 = (ygap[None, :, :] ** 2
+               + zgap[:, None, :] ** 2).reshape(G * T, n_chunks)
+        chunk_order = jnp.argsort(lb2, axis=1).astype(jnp.int32)
+        lb2_sorted = jnp.take_along_axis(lb2, chunk_order, axis=1)
+
+    def cross_kernel(*refs):
+        if cull:
+            ny_ref, zmask_ref, tri_ref, cross_ref = refs
+        else:
+            tri_ref, cross_ref = refs
+        k, t_id = pl.program_id(0), pl.program_id(1)
+        px, py, pz = coords(k, t_id)
+
+        if cull:
+            def body(c, run):
+                @pl.when(zmask_ref[k, c] > 0)
+                def _compute():
+                    run_ref[0] = (run_ref[0]
+                                  + _chunk_crossings(tri_ref[c],
+                                                     px, py, pz))
+                return run
+
+            # fori_loop carries nothing mutable across pl.when, so use
+            # the output ref as the accumulator directly.
+            run_ref = cross_ref
+            run_ref[0] = jnp.zeros((1, L), jnp.int32)
+            jax.lax.fori_loop(0, ny_ref[t_id, 0], body, 0)
+        else:
+            def body(c, run):
+                return run + _chunk_crossings(tri_ref[c], px, py, pz)
+
+            cross_ref[0] = jax.lax.fori_loop(
+                0, n_chunks, body, jnp.zeros((1, L), jnp.int32))
+
+    cross_in_specs = [pl.BlockSpec((n_chunks, C, 9),
+                                   lambda k, t: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+    cross_args = [tri_flat]
+    if cull:
+        cross_in_specs = [
+            pl.BlockSpec((T, 1), lambda k, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, n_chunks), lambda k, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + cross_in_specs
+        cross_args = [ny, zmask] + cross_args
 
     cross = pl.pallas_call(
         cross_kernel,
         grid=(G, T),
-        in_specs=[pl.BlockSpec((n_chunks, C, 9), lambda k, t: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=cross_in_specs,
         out_specs=pl.BlockSpec((1, 1, L), lambda k, t: (k * T + t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * T, 1, L), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(tri_flat)
+    )(*cross_args)
 
     inside = (cross % 2 == 1)                        # (G*T, 1, L)
     flags = inside.any(axis=(1, 2)).astype(jnp.int32)[:, None]
 
-    def dist_kernel(flag_ref, tri_ref, min_ref):
+    def dist_kernel(*refs):
+        if cull:
+            (flag_ref, order_ref, lb_ref, inside_ref, tri_ref,
+             min_ref) = refs
+        else:
+            flag_ref, tri_ref, min_ref = refs
         k, t_id = pl.program_id(0), pl.program_id(1)
         px, py, pz = coords(k, t_id)
         min_ref[0] = jnp.full((1, L), 1e6, jnp.float32)
 
         @pl.when(flag_ref[k * T + t_id, 0] > 0)
         def _():
-            def body(c, run):
-                return jnp.minimum(
-                    run, _chunk_min_dist_sq(tri_ref[c], px, py, pz))
+            if not cull:
+                def body(c, run):
+                    return jnp.minimum(
+                        run, _chunk_min_dist_sq(tri_ref[c], px, py, pz))
 
-            min_ref[0] = jax.lax.fori_loop(
-                0, n_chunks, body, jnp.full((1, L), 1e6, jnp.float32))
+                min_ref[0] = jax.lax.fori_loop(
+                    0, n_chunks, body,
+                    jnp.full((1, L), 1e6, jnp.float32))
+                return
+
+            tile = k * T + t_id
+            ins = inside_ref[0] > 0                    # (1, L)
+
+            def cond(carry):
+                c, m, worst = carry
+                # Chunks are LB-sorted per tile: once the next bound
+                # exceeds the worst inside-lane minimum (with fp
+                # slack), no later chunk can improve any inside lane.
+                return (c < n_chunks) & (
+                    lb_ref[tile, c] < worst * (1.0 + 1e-4) + 1e-9)
+
+            def body(carry):
+                c, m, _ = carry
+                d2 = _chunk_min_dist_sq(tri_ref[order_ref[tile, c]],
+                                        px, py, pz)
+                m = jnp.minimum(m, d2)
+                worst = jnp.max(jnp.where(ins, m, 0.0))
+                return c + 1, m, worst
+
+            m0 = jnp.full((1, L), 1e6, jnp.float32)
+            _, m, _ = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), m0,
+                             jnp.asarray(1e6, jnp.float32)))
+            min_ref[0] = m
+
+    dist_in_specs = [
+        # Whole flag vector resident in VMEM (per-tile (1,1) SMEM
+        # blocks violate Mosaic's block rules, and SMEM is already
+        # at capacity at G=128's 2048 tiles).
+        pl.BlockSpec((G * T, 1), lambda k, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dist_args = [flags]
+    if cull:
+        dist_in_specs += [
+            pl.BlockSpec((G * T, n_chunks), lambda k, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * T, n_chunks), lambda k, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda k, t: (k * T + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        dist_args += [chunk_order, lb2_sorted,
+                      inside.astype(jnp.int32)]
+    dist_in_specs.append(
+        pl.BlockSpec((n_chunks, C, 9), lambda k, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    dist_args.append(tri_flat)
 
     min_d2 = pl.pallas_call(
         dist_kernel,
         grid=(G, T),
-        in_specs=[
-            # Whole flag vector resident in VMEM (per-tile (1,1) SMEM
-            # blocks violate Mosaic's block rules, and SMEM is already
-            # at capacity at G=128's 2048 tiles).
-            pl.BlockSpec((G * T, 1), lambda k, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chunks, C, 9), lambda k, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=dist_in_specs,
         out_specs=pl.BlockSpec((1, 1, L), lambda k, t: (k * T + t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * T, 1, L), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(flags, tri_flat)
+    )(*dist_args)
 
     phi = jnp.where(inside, jnp.sqrt(min_d2), 0.0)
     return phi.reshape(G, G, G)

@@ -66,19 +66,41 @@ def main(argv=None) -> int:
     from ..detect.preprocess import flip_pairs_for
     from ..detect.zoo import build_pose_model
 
-    det_params = pose_params = None
+    det_params = None
     if args.yolox_ckpt:
         from ..detect.convert import convert_yolox
         det_params = convert_yolox(args.yolox_ckpt)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    detector = PersonDetector(det_params, conf_thresh=args.det_thresh,
+                              compute_dtype=dtype)
+
+    if args.video is not None and args.smpl:
+        # The 2D pose net is never used here — don't init/compile it
+        # (flax init is eager device work; on the pinned TPU platform
+        # each wasted op is a tunnel round-trip).
+        from ..detect.predictor import SmplPoseEstimator
+        from ..detect.stream import parse_source, run_stream_smpl
+        smpl_params = None
+        if args.smpl_ckpt:
+            from ..detect.convert import convert_hybrik
+            smpl_params = convert_hybrik(args.smpl_ckpt)
+        out_dir = args.data_folder or "."
+        start = time.time()
+        n = run_stream_smpl(
+            parse_source(args.video), detector,
+            SmplPoseEstimator(smpl_params, compute_dtype=dtype),
+            out_json=os.path.join(out_dir, "smpl-results.json"),
+            out_video=args.out_video, max_frames=args.max_frames)
+        print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")
+        return 0
+
+    pose_params = None
     if args.pose_ckpt:
         from ..detect.convert import POSE_CONVERTERS
         key = args.pose_model.lower().replace("-", "_")
         pose_params = POSE_CONVERTERS[key](args.pose_ckpt)
-
-    dtype = jnp.bfloat16 if args.bf16 else None
     pipeline = KeypointPipeline(
-        PersonDetector(det_params, conf_thresh=args.det_thresh,
-                       compute_dtype=dtype),
+        detector,
         PoseEstimator(pose_params, num_joints=args.num_joints,
                       model=build_pose_model(args.pose_model,
                                              args.num_joints),
@@ -89,31 +111,13 @@ def main(argv=None) -> int:
                           args.num_joints, args.format)}
                          if args.format else {})))
 
-    if args.video is not None and args.smpl:
-        from ..detect.predictor import SmplPoseEstimator
-        from ..detect.stream import run_stream_smpl
-        smpl_params = None
-        if args.smpl_ckpt:
-            from ..detect.convert import convert_hybrik
-            smpl_params = convert_hybrik(args.smpl_ckpt)
-        src = int(args.video) if args.video.isdigit() else args.video
-        out_dir = args.data_folder or "."
-        start = time.time()
-        n = run_stream_smpl(
-            src, pipeline.detector,
-            SmplPoseEstimator(smpl_params, compute_dtype=dtype),
-            out_json=os.path.join(out_dir, "smpl-results.json"),
-            out_video=args.out_video, max_frames=args.max_frames)
-        print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")
-        return 0
-
     if args.video is not None:
-        from ..detect.stream import run_stream
-        src = int(args.video) if args.video.isdigit() else args.video
+        from ..detect.stream import parse_source, run_stream
         out_dir = (os.path.join(args.data_folder, args.keyp_folder)
                    if args.data_folder else "keypoints")
         start = time.time()
-        n = run_stream(src, pipeline.detector, pipeline.pose,
+        n = run_stream(parse_source(args.video), pipeline.detector,
+                       pipeline.pose,
                        out_json_dir=out_dir, out_video=args.out_video,
                        max_frames=args.max_frames)
         print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")

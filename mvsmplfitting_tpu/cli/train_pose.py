@@ -67,10 +67,16 @@ def parse_args(argv=None):
 
 
 def aug_for_format(fmt, num_joints, input_hw):
-    """PoseAugConfig for a named keypoint format: flip pairs +
-    half-body ids from the skeleton registry (the reference carries
-    these on its 15 dataset classes).  None -> dataset default
-    (COCO-17 tables)."""
+    """PoseAugConfig for a named keypoint format: flip pairs from the
+    skeleton registry.  None -> dataset default (COCO-17 tables).
+
+    Half-body ids: the reference's dataset classes declare per-format
+    `lower_body_ids` (kept in the registry, golden-tested), but
+    `CustomDataset.__init__` shadows them with instance attributes
+    upper=(0..10) / lower=(11..16) for EVERY format
+    (`datasets/custom.py:93-94`), and `SimpleTransform` reads the
+    instance (`simple_transform.py:77-78`) — so the effective split is
+    always the COCO-17 one.  Quirk reproduced here."""
     if fmt is None:
         return None
     from ..detect.augment import PoseAugConfig
@@ -80,11 +86,9 @@ def aug_for_format(fmt, num_joints, input_hw):
         raise SystemExit(
             f"--format {fmt} is a {spec.num_joints}-joint set, got "
             f"--num_joints {num_joints}")
-    lower = set(spec.lower_body_ids)
     return PoseAugConfig(
         input_hw=input_hw, flip_pairs=spec.flip_pairs,
-        upper_body_ids=tuple(i for i in range(spec.num_joints)
-                             if i not in lower))
+        upper_body_ids=tuple(range(11)))
 
 
 def main(argv=None):

@@ -203,6 +203,12 @@ class CocoPoseTrainDataset:
                     "joints": kp[:, :2],
                     "vis": (kp[:, 2] > 0).astype(np.float32),
                 })
+        widths = {e["joints"].shape[0] for e in self.entries}
+        if len(widths) > 1:
+            raise ValueError(
+                f"annotation files carry mixed joint counts "
+                f"{sorted(widths)}; pass num_joints=<J> to apply the "
+                f"truncate/pad rule")
         if self.entries:
             self.num_joints = self.entries[0]["joints"].shape[0]
 

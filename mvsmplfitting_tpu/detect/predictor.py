@@ -233,7 +233,11 @@ class SmplPoseEstimator:
           reference's width-only crop scaling (`writer_smpl.py:108-114`;
           exact for its square crops), ``kp_score`` (M, 29, 1) =
           ``1 - maxvals`` (quirk at `:116`), ``pred_xyz_jts`` (M, 24, 3)
-          root-relative metric joints, ``verts`` (M, V, 3) camera-frame
+          root-relative joints in the model's depth_factor-normalized
+          units — the reference's writer dumps `pred_xyz_jts_24`
+          verbatim (`writer_smpl.py:109`), so the JSON unit matches;
+          multiply by ``self.depth_factor`` for meters —,
+          ``verts`` (M, V, 3) camera-frame
           meshes, ``proposal_score`` (M,) =
           mean(kp) + box + 1.25*max(kp) (`:131`), plus ``centers`` /
           ``scales`` of the crops.
@@ -278,8 +282,8 @@ class SmplPoseEstimator:
         verts_cam = np.asarray(verts) + np.asarray(root)[:, None, :]
         return {"keypoints": uv_img.astype(np.float32),
                 "kp_score": kp_score.astype(np.float32),
-                "pred_xyz_jts": (np.asarray(xyz)[:, :24]
-                                 * self.depth_factor).astype(np.float32),
+                "pred_xyz_jts": np.asarray(xyz)[:, :24
+                                                ].astype(np.float32),
                 "verts": verts_cam.astype(np.float32),
                 "proposal_score": proposal.astype(np.float32),
                 "centers": centers.astype(np.float32),

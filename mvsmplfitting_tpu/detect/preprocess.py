@@ -207,10 +207,20 @@ def flip_pairs_for(num_joints: int, fmt=None):
     (`alphapose/datasets/*.py: joint_pairs`); the full family —
     halpe-68/136, coco-wholebody-133, hands — lives in the skeleton
     registry (`viz/skeletons.py`) and is resolved here for training
-    augmentation and flip-test ensembling.
+    augmentation and flip-test ensembling.  Narrower tables on wider
+    heatmaps are legitimate (the reference's predictor uses the
+    COCO-17 pairs on its 26-joint model); pairs that would index past
+    the heatmap's channel axis are rejected up front instead of
+    IndexError-ing mid-stream.
     """
     from ..viz.skeletons import skeleton_for
-    return skeleton_for(num_joints, fmt).flip_pairs
+    pairs = skeleton_for(num_joints, fmt).flip_pairs
+    top = max((max(a, b) for a, b in pairs), default=-1)
+    if top >= num_joints:
+        raise ValueError(
+            f"format {fmt!r} flip pairs reach joint {top}; the model "
+            f"outputs only {num_joints} joints")
+    return pairs
 
 
 def flip_heatmap(hms: jnp.ndarray, joint_pairs=COCO_FLIP_PAIRS,

@@ -63,6 +63,29 @@ def frame_source(src, max_frames: int = 0
         cap.release()
 
 
+def open_video_writer(path: str, fps: float, size_wh):
+    """cv2.VideoWriter with mp4v -> MJPG/avi fallback (the writer
+    role of `alphapose/utils/writer.py`); raises if neither codec
+    opens instead of silently dropping every frame."""
+    import cv2
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, tuple(size_wh))
+    if not writer.isOpened():
+        writer = cv2.VideoWriter(
+            os.path.splitext(path)[0] + ".avi",
+            cv2.VideoWriter_fourcc(*"MJPG"), fps, tuple(size_wh))
+    if not writer.isOpened():
+        raise IOError(f"no video codec available for {path!r}")
+    return writer
+
+
+def parse_source(src: str):
+    """CLI video-source string -> frame_source arg (digit = webcam)."""
+    return int(src) if isinstance(src, str) and src.isdigit() else src
+
+
 def run_stream(src, detector=None, pose=None, *,
                out_json_dir: Optional[str] = None,
                out_video: Optional[str] = None,
@@ -75,8 +98,6 @@ def run_stream(src, detector=None, pose=None, *,
 
     Returns the number of frames processed.
     """
-    import cv2
-
     from ..data.keypoints import save_keypoints_json
     from ..viz.overlay import draw_keypoints
     from .predictor import PersonDetector, PoseEstimator
@@ -107,16 +128,7 @@ def run_stream(src, detector=None, pose=None, *,
                         draw_keypoints(frame, person)
                 if writer is None:
                     h, w = frame.shape[:2]
-                    os.makedirs(os.path.dirname(out_video) or ".",
-                                exist_ok=True)
-                    writer = cv2.VideoWriter(
-                        out_video, cv2.VideoWriter_fourcc(*"mp4v"),
-                        fps, (w, h))
-                    if not writer.isOpened():
-                        writer = cv2.VideoWriter(
-                            os.path.splitext(out_video)[0] + ".avi",
-                            cv2.VideoWriter_fourcc(*"MJPG"), fps,
-                            (w, h))
+                    writer = open_video_writer(out_video, fps, (w, h))
                 writer.write(frame)
             n += 1
         pending.clear()
@@ -151,8 +163,6 @@ def run_stream_smpl(src, detector=None, smpl=None, *,
     Returns the number of frames processed.
     """
     import json
-
-    import cv2
 
     from ..viz.overlay import render_multiperson_overlay
     from ..viz.skeletons import vis_frame
@@ -228,16 +238,7 @@ def run_stream_smpl(src, detector=None, smpl=None, *,
                                   out["kp_score"][k][:, 0], fast=True)
                 if writer is None:
                     h, w = frame.shape[:2]
-                    os.makedirs(os.path.dirname(out_video) or ".",
-                                exist_ok=True)
-                    writer = cv2.VideoWriter(
-                        out_video, cv2.VideoWriter_fourcc(*"mp4v"),
-                        fps, (w, h))
-                    if not writer.isOpened():
-                        writer = cv2.VideoWriter(
-                            os.path.splitext(out_video)[0] + ".avi",
-                            cv2.VideoWriter_fourcc(*"MJPG"), fps,
-                            (w, h))
+                    writer = open_video_writer(out_video, fps, (w, h))
                 writer.write(frame)
             n += 1
         pending.clear()

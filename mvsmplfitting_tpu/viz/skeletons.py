@@ -191,8 +191,13 @@ def skeleton_for(num_joints: int,
                  fmt: Optional[str] = None) -> SkeletonSpec:
     """Resolve a format by name, else by joint count (the reference's
     `kp_num` dispatch, `vis.py:285-312`); unknown counts fall back to
-    coco17 drawing on the first 17 joints."""
-    if fmt is not None and fmt in SKELETONS:
+    coco17 drawing on the first 17 joints.  An explicitly named but
+    unknown format raises (a typo must not silently train/draw with
+    the wrong flip/limb tables)."""
+    if fmt is not None:
+        if fmt not in SKELETONS:
+            raise ValueError(f"unknown skeleton format {fmt!r}; "
+                             f"known: {sorted(SKELETONS)}")
         return SKELETONS[fmt]
     return _BY_COUNT.get(num_joints, SKELETONS["coco17"])
 
@@ -246,36 +251,55 @@ def vis_frame(img: np.ndarray, keypoints: np.ndarray,
     for n in range(len(kp)):
         if not visible[n]:
             continue
-        color = track_color or (spec.point_colors[n]
-                                if n < len(spec.point_colors)
+        in_table = n < len(spec.point_colors)
+        color = track_color or (spec.point_colors[n] if in_table
                                 else WHITE)
         if fast:
-            cv2.circle(img, tuple(pts[n]), 3, color, -1)
+            # Beyond-table joints draw as r1 rings (`vis.py:260`).
+            if in_table:
+                cv2.circle(img, tuple(pts[n]), 3, color, -1)
+            else:
+                cv2.circle(img, tuple(pts[n]), 1, WHITE, 2)
         else:
             bg = img.copy()
-            cv2.circle(bg, tuple(pts[n]), 2, color, -1)
-            a = float(np.clip(sc[n], 0.0, 1.0))
+            if in_table:
+                cv2.circle(bg, tuple(pts[n]), 2, color, -1)
+                a = float(np.clip(sc[n], 0.0, 1.0))
+            else:
+                # `vis.py:485-490`: r1 ring, doubled transparency.
+                cv2.circle(bg, tuple(pts[n]), 1, WHITE, 2)
+                a = float(np.clip(sc[n] * 2.0, 0.0, 1.0))
             img[:] = cv2.addWeighted(bg, a, img, 1 - a, 0)
     for i, (a, b) in enumerate(spec.limbs):
         if a >= len(kp) or b >= len(kp) or not (visible[a] and visible[b]):
             continue
-        color = track_color or (spec.line_colors[i]
-                                if i < len(spec.line_colors)
+        in_table = i < len(spec.line_colors)
+        color = track_color or (spec.line_colors[i] if in_table
                                 else WHITE)
         if fast:
-            cv2.line(img, tuple(pts[a]), tuple(pts[b]), color,
-                     2 * int(sc[a] + sc[b]) + 1)
+            # Beyond-table limbs are 1-px white lines (`vis.py:271`).
+            if in_table:
+                cv2.line(img, tuple(pts[a]), tuple(pts[b]), color,
+                         2 * int(sc[a] + sc[b]) + 1)
+            else:
+                cv2.line(img, tuple(pts[a]), tuple(pts[b]), WHITE, 1)
             continue
         bg = img.copy()
-        mx, my = 0.5 * (pts[a] + pts[b])
-        dx, dy = (pts[a] - pts[b]).astype(np.float64)
-        length = math.hypot(dx, dy)
-        angle = math.degrees(math.atan2(dy, dx))
-        stick = cv2.ellipse2Poly(
-            (int(mx), int(my)),
-            (int(length / 2), int(sc[a] + sc[b] + 1)),
-            int(angle), 0, 360, 1)
-        cv2.fillConvexPoly(bg, stick, color)
-        alpha = float(np.clip(0.5 * (sc[a] + sc[b]) - 0.1, 0.0, 1.0))
+        if in_table:
+            mx, my = 0.5 * (pts[a] + pts[b])
+            dx, dy = (pts[a] - pts[b]).astype(np.float64)
+            length = math.hypot(dx, dy)
+            angle = math.degrees(math.atan2(dy, dx))
+            stick = cv2.ellipse2Poly(
+                (int(mx), int(my)),
+                (int(length / 2), int(sc[a] + sc[b] + 1)),
+                int(angle), 0, 360, 1)
+            cv2.fillConvexPoly(bg, stick, color)
+            alpha = float(np.clip(0.5 * (sc[a] + sc[b]) - 0.1,
+                                  0.0, 1.0))
+        else:
+            # `vis.py:511-516`: thin white line, (sa+sb) transparency.
+            cv2.line(bg, tuple(pts[a]), tuple(pts[b]), WHITE, 1)
+            alpha = float(np.clip(sc[a] + sc[b], 0.0, 1.0))
         img[:] = cv2.addWeighted(bg, alpha, img, 1 - alpha, 0)
     return img

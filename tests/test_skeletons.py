@@ -187,8 +187,12 @@ class TestFormatPlumbing:
         from mvsmplfitting_tpu.cli.train_pose import aug_for_format
         cfg = aug_for_format("halpe136", 136, (256, 192))
         assert cfg.flip_pairs == sk.HALPE136_FLIP
-        lower = set(sk.SKELETONS["halpe136"].lower_body_ids)
-        assert set(cfg.upper_body_ids) == set(range(136)) - lower
+        # The reference's effective half-body split is ALWAYS
+        # upper=(0..10): CustomDataset.__init__ shadows the class-
+        # level per-format ids with instance attributes
+        # (`datasets/custom.py:93-94`) and SimpleTransform reads the
+        # instance — quirk reproduced.
+        assert cfg.upper_body_ids == tuple(range(11))
         assert aug_for_format(None, 17, (256, 192)) is None
         with pytest.raises(SystemExit):
             aug_for_format("halpe136", 26, (256, 192))
@@ -223,3 +227,37 @@ class TestFormatPlumbing:
         out = flip_heatmap(flip_heatmap(hm, sk.WB133_FLIP, shift=False),
                            sk.WB133_FLIP, shift=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(hm))
+
+
+class TestGuards:
+    def test_unknown_named_format_raises(self):
+        with pytest.raises(ValueError, match="unknown skeleton"):
+            sk.skeleton_for(26, "halpe-26")   # typo'd name
+
+    def test_flip_pairs_reaching_past_heatmap_raise(self):
+        from mvsmplfitting_tpu.detect.preprocess import flip_pairs_for
+        with pytest.raises(ValueError, match="reach joint"):
+            flip_pairs_for(26, "halpe136")
+        # narrower-than-model tables are the reference predictor's
+        # own behavior (COCO pairs on the halpe-26 net) — allowed
+        assert flip_pairs_for(26, "coco17") == sk.SKELETONS[
+            "coco17"].flip_pairs
+
+    def test_mixed_width_concat_requires_num_joints(self, tmp_path):
+        import json as _json
+
+        from mvsmplfitting_tpu.detect.dataset import (
+            CocoPoseTrainDataset)
+        anns = []
+        for src, J in enumerate((17, 26)):
+            gt = {"images": [], "annotations": [
+                {"id": 0, "image_id": 0, "category_id": 1,
+                 "bbox": [0, 0, 10, 10],
+                 "keypoints": [1.0] * (J * 3), "num_keypoints": J}],
+                "categories": [{"id": 1, "name": "person"}]}
+            p = tmp_path / f"gt{src}.json"
+            with open(p, "w") as f:
+                _json.dump(gt, f)
+            anns.append(str(p))
+        with pytest.raises(ValueError, match="mixed joint counts"):
+            CocoPoseTrainDataset(anns, [str(tmp_path)] * 2)

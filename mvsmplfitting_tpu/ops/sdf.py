@@ -405,7 +405,8 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                          face_chunk: Optional[int] = None,
                          interpret: bool = False,
                          cull: bool = True,
-                         _max_lanes: int = 1024) -> jnp.ndarray:
+                         _max_lanes: int = 1024,
+                         _visit_all: bool = False) -> jnp.ndarray:
     """Two-phase voxelizer: crossings first, distance only where needed.
 
     BIT-EXACT with `sdf_grid_pallas` by construction: phi is zero at
@@ -434,7 +435,13 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
       minimum — the remaining chunks provably cannot improve any
       inside voxel, and outside voxels' phi is zeroed anyway.
     Small fp margins on every bound keep the culls strictly
-    conservative.
+    conservative.  ``_visit_all=True`` disables only the early-exit
+    gate (same loop form): the tests assert the gated result is
+    BITWISE equal to it, isolating the culling claim from compiler
+    FMA contraction — `lax.fori_loop` vs `lax.while_loop` bodies of
+    the identical distance math compile with different mul+add
+    fusion (measured <= ~4e-6 relative), so cull on/off compare
+    within that tolerance, not bitwise.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -595,7 +602,8 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                 # exceeds the worst inside-lane minimum (with fp
                 # slack), no later chunk can improve any inside lane.
                 return (c < n_chunks) & (
-                    lb_ref[tile, c] < worst * (1.0 + 1e-4) + 1e-9)
+                    (lb_ref[tile, c] < worst * (1.0 + 1e-4) + 1e-9)
+                    | _visit_all)
 
             def body(carry):
                 c, m, _ = carry

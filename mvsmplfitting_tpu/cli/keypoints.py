@@ -28,6 +28,15 @@ def main(argv=None) -> int:
                         "(streaming mode: detect/stream.py)")
     p.add_argument("--out_video", default=None,
                    help="streaming mode: annotated output video")
+    p.add_argument("--results_dir", default=None,
+                   help="streaming mode: also write the aggregated "
+                        "alphapose-results.json here")
+    p.add_argument("--results_form", default=None,
+                   choices=["cmu", "open"],
+                   help="aggregated results format (default: the "
+                        "alphapose-results.json list)")
+    p.add_argument("--for_eval", action="store_true",
+                   help="numeric COCO image ids in the results file")
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--img_folder", default="images")
     p.add_argument("--keyp_folder", default="keypoints")
@@ -119,7 +128,10 @@ def main(argv=None) -> int:
         n = run_stream(parse_source(args.video), pipeline.detector,
                        pipeline.pose,
                        out_json_dir=out_dir, out_video=args.out_video,
-                       max_frames=args.max_frames)
+                       max_frames=args.max_frames,
+                       results_dir=args.results_dir,
+                       results_form=args.results_form,
+                       for_eval=args.for_eval)
         print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")
         return 0
 

@@ -125,3 +125,94 @@ def pose_nms(boxes: np.ndarray, box_scores: np.ndarray,
                 np.zeros((0, poses.shape[1]), np.float32))
     return (np.stack(out_boxes), np.stack(out_poses),
             np.stack(out_scores))
+
+
+def write_results_json(all_results, outputpath, form=None,
+                       for_eval=False,
+                       outputfile="alphapose-results.json"):
+    """The reference's results-file contract
+    (`pPose_nms.py:659-749`): aggregate per-frame person results into
+
+    * default — one `alphapose-results.json` list of
+      {image_id, category_id, keypoints xyscore-flat, score, box, idx};
+      ``for_eval=True`` parses the numeric COCO image id from the file
+      name (`:672`);
+    * ``form="cmu"`` / ``"open"`` — CMU-Pose / OpenPose per-image
+      dicts (plus a `sep-json/` file per image), with the reference's
+      synthetic mid-shoulder neck (flat indices 15/18, 16/19, 17/20 =
+      joints 5/6, `:704-706`) and its fixed 18-joint reorder table.
+
+    ``all_results``: [{'imgname': str, 'result': [{'keypoints' (J,2),
+    'kp_score' (J,) or (J,1), 'proposal_score' float, optional 'box',
+    'idx', 'pred_xyz_jts'}]}].
+    """
+    import json
+    import os
+
+    json_results = []
+    json_results_cmu = {}
+    indexarr = (0, 51, 18, 24, 30, 15, 21, 27, 36, 42, 48, 33, 39,
+                45, 6, 3, 12, 9)
+    for im_res in all_results:
+        im_name = im_res["imgname"]
+        for human in im_res["result"]:
+            result = {}
+            base = os.path.basename(im_name)
+            if for_eval:
+                result["image_id"] = int(
+                    base.split(".")[0].split("_")[-1])
+            else:
+                result["image_id"] = base
+            result["category_id"] = 1
+            kp = np.asarray(human["keypoints"], np.float64)
+            sc = np.asarray(human["kp_score"], np.float64).reshape(-1)
+            flat = []
+            for n in range(len(sc)):
+                flat += [float(kp[n, 0]), float(kp[n, 1]),
+                         float(sc[n])]
+            result["keypoints"] = flat
+            result["score"] = float(np.asarray(
+                human["proposal_score"]).reshape(-1)[0])
+            if "box" in human:
+                result["box"] = [float(v) for v in human["box"]]
+            if "idx" in human:
+                result["idx"] = human["idx"]
+            if "pred_xyz_jts" in human:
+                result["pred_xyz_jts"] = np.asarray(
+                    human["pred_xyz_jts"]).tolist()
+
+            if form in ("cmu", "open"):
+                entry = json_results_cmu.setdefault(
+                    result["image_id"],
+                    {"version": "AlphaPose v0.3",
+                     ("bodies" if form == "cmu" else "people"): []})
+                ks = list(result["keypoints"])
+                # synthetic neck = mean of the shoulders (5, 6)
+                ks.append((ks[15] + ks[18]) / 2)
+                ks.append((ks[16] + ks[19]) / 2)
+                ks.append((ks[17] + ks[20]) / 2)
+                joints = []
+                for i in indexarr:
+                    joints += [ks[i], ks[i + 1], ks[i + 2]]
+                key = ("joints" if form == "cmu"
+                       else "pose_keypoints_2d")
+                group = "bodies" if form == "cmu" else "people"
+                entry[group].append({key: joints})
+            else:
+                json_results.append(result)
+
+    os.makedirs(outputpath, exist_ok=True)
+    out = os.path.join(outputpath, outputfile)
+    if form in ("cmu", "open"):
+        with open(out, "w") as f:
+            json.dump(json_results_cmu, f)
+        sep = os.path.join(outputpath, "sep-json")
+        os.makedirs(sep, exist_ok=True)
+        for name, entry in json_results_cmu.items():
+            with open(os.path.join(
+                    sep, str(name).split(".")[0] + ".json"), "w") as f:
+                json.dump(entry, f)
+    else:
+        with open(out, "w") as f:
+            json.dump(json_results, f)
+    return out

@@ -91,10 +91,16 @@ def run_stream(src, detector=None, pose=None, *,
                out_video: Optional[str] = None,
                serial: str = "stream", chunk: int = 4,
                max_frames: int = 0, fps: float = 30.0,
-               draw: bool = True) -> int:
+               draw: bool = True,
+               results_dir: Optional[str] = None,
+               results_form: Optional[str] = None,
+               for_eval: bool = False) -> int:
     """Detect + pose every frame of ``src``; write per-frame OpenPose
     JSONs (`<out_json_dir>/<serial>/<%06d>_keypoints.json`, the
     `writer.py` role) and optionally an annotated video.
+    ``results_dir`` additionally writes the reference's aggregated
+    results file (`pose_nms.write_results_json`; ``results_form``
+    None/"cmu"/"open", ``for_eval`` numeric COCO image ids).
 
     Returns the number of frames processed.
     """
@@ -108,6 +114,7 @@ def run_stream(src, detector=None, pose=None, *,
     writer = None
     n = 0
     pending = []  # [(idx, img)]
+    all_results = []
 
     def flush():
         nonlocal writer, n
@@ -121,6 +128,27 @@ def run_stream(src, detector=None, pose=None, *,
                 save_keypoints_json(
                     os.path.join(out_json_dir, serial,
                                  f"{idx:06d}_keypoints.json"), kps)
+            if results_dir is not None:
+                frame_res = []
+                for k in range(len(kps)):
+                    s = kps[k, :, 2]
+                    b = (boxes[k] if k < len(boxes)
+                         else np.zeros(5, np.float32))
+                    bs = float(b[4]) if len(b) > 4 else 1.0
+                    frame_res.append({
+                        "keypoints": kps[k, :, :2],
+                        "kp_score": s,
+                        # `writer.py:update` proposal formula
+                        "proposal_score": float(s.mean() + bs
+                                                + 1.25 * s.max()),
+                        "box": [float(b[0]), float(b[1]),
+                                float(b[2] - b[0]),
+                                float(b[3] - b[1])],
+                        "idx": k,
+                    })
+                all_results.append(
+                    {"imgname": f"{idx:06d}.jpg",
+                     "result": frame_res})
             if out_video is not None:
                 frame = img.copy()
                 if draw:
@@ -142,6 +170,10 @@ def run_stream(src, detector=None, pose=None, *,
     finally:
         if writer is not None:
             writer.release()
+    if results_dir is not None:
+        from .pose_nms import write_results_json
+        write_results_json(all_results, results_dir,
+                           form=results_form, for_eval=for_eval)
     return n
 
 

@@ -15,7 +15,7 @@ from .fastpose import FastPose
 from .simplepose import SimplePose
 from .hrnet import PoseHRNet
 from .hardnet import HarDNetPose
-from .pose_nms import pose_nms
+from .pose_nms import pose_nms, write_results_json
 from .preprocess import (
     letterbox, bbox_to_center_scale, crop_affine, heatmap_to_coords,
     heatmap_to_coords_integral,

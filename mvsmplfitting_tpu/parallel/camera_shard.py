@@ -88,10 +88,11 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
 
         diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
         A = JtJ + lam * jnp.diag(diag) + 1e-12 * eye
-        # Cholesky, not LU: XLA's LU lowering is a sequential latency
-        # chain (see lm._solve_spd; measured +37% on the solo fit).
+        # No LU: XLA's LU lowering is a sequential latency chain (see
+        # lm._solve_spd; measured +37% chol / +90% schulz on the solo
+        # fit).  The solve is replicated per shard either way.
         from ..fitting.lm import _solve_spd
-        dx = -_solve_spd(A, g, "chol") * mask
+        dx = -_solve_spd(A, g, opts.linsolve, opts.schulz_iters) * mask
 
         new_x = x + dx
         new_loss = loss_of(new_x)

@@ -246,7 +246,9 @@ def vis_frame(img: np.ndarray, keypoints: np.ndarray,
     finite = (np.isfinite(kp).all(axis=1)
               & (np.abs(kp) < 1e8).all(axis=1))
     visible = finite & (sc > vis_thresh)
-    pts = np.round(np.clip(np.nan_to_num(kp), -1e8, 1e8)).astype(int)
+    # Truncation (not rounding): the reference casts with int()
+    # (`vis.py:252,454`), and pixel-identical output requires it.
+    pts = np.clip(np.nan_to_num(kp), -1e8, 1e8).astype(int)
 
     for n in range(len(kp)):
         if not visible[n]:
@@ -295,11 +297,20 @@ def vis_frame(img: np.ndarray, keypoints: np.ndarray,
                 (int(length / 2), int(sc[a] + sc[b] + 1)),
                 int(angle), 0, 360, 1)
             cv2.fillConvexPoly(bg, stick, color)
+        else:
+            # `vis.py:511-512`: thin white line beyond the table.
+            cv2.line(bg, tuple(pts[a]), tuple(pts[b]), WHITE, 1)
+        # Parity quirk (`vis.py:513-516`): the reference's limb alpha
+        # branches on `n` — the LEAKED final index of the preceding
+        # points loop (always num_joints - 1) — not on the limb index.
+        # So the soft 0.5*(sa+sb)-0.1 alpha applies only to formats
+        # whose joint count fits the point-color table (coco17/mpii16/
+        # halpe26); halpe-68/136, wholebody-133 and hands draw EVERY
+        # limb at min(1, sa+sb), i.e. usually opaque.
+        if len(kp) - 1 < len(spec.point_colors):
             alpha = float(np.clip(0.5 * (sc[a] + sc[b]) - 0.1,
                                   0.0, 1.0))
         else:
-            # `vis.py:511-516`: thin white line, (sa+sb) transparency.
-            cv2.line(bg, tuple(pts[a]), tuple(pts[b]), WHITE, 1)
             alpha = float(np.clip(sc[a] + sc[b], 0.0, 1.0))
         img[:] = cv2.addWeighted(bg, alpha, img, 1 - alpha, 0)
     return img

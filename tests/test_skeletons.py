@@ -261,3 +261,51 @@ class TestGuards:
             anns.append(str(p))
         with pytest.raises(ValueError, match="mixed joint counts"):
             CocoPoseTrainDataset(anns, [str(tmp_path)] * 2)
+
+
+@needs_ref
+class TestPixelParity:
+    """`vis_frame` output is PIXEL-IDENTICAL to the reference's own
+    `vis_frame` on identical inputs (incl. its leaked-loop-variable
+    limb-alpha quirk, `vis.py:513-516`, and int() truncation).  mpii16
+    is excluded: the reference's 16-joint table is unreachable (its
+    dispatch raises NotImplementedError for kp_num == 16)."""
+
+    @pytest.mark.parametrize("num_joints,fmt",
+                             [(17, "coco17"), (26, "halpe26"),
+                              (68, "halpe68"), (136, "halpe136"),
+                              (133, "coco_wholebody133")])
+    def test_matches_reference_vis_frame(self, num_joints, fmt):
+        import sys
+        import types
+
+        pytest.importorskip("cv2")
+        sys.path.insert(0, "/root/reference/alphapose_core")
+        try:
+            import torch
+            from alphapose.utils.vis import vis_frame as ref_vis_frame
+        except Exception as e:
+            pytest.skip(f"reference vis unavailable: {e}")
+
+        rng = np.random.default_rng(5)
+        for _ in range(3):
+            img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+            people = [
+                {"keypoints": torch.from_numpy(
+                    rng.uniform(-5, 170,
+                                (num_joints, 2)).astype(np.float32)),
+                 "kp_score": torch.from_numpy(
+                     rng.uniform(0, 1,
+                                 (num_joints, 1)).astype(np.float32))}
+                for _ in range(2)]
+            opt = types.SimpleNamespace(tracking=False, showbox=False,
+                                        pose_track=False)
+            want = ref_vis_frame(
+                img, {"result": [dict(p) for p in people]}, opt,
+                [0.4] * num_joints)
+            got = img.copy()
+            for p in people:
+                sk.vis_frame(got, p["keypoints"].numpy(),
+                             p["kp_score"].numpy()[:, 0], fmt=fmt,
+                             vis_thresh=0.4)
+            np.testing.assert_array_equal(got, want)

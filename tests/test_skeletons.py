@@ -271,11 +271,12 @@ class TestPixelParity:
     is excluded: the reference's 16-joint table is unreachable (its
     dispatch raises NotImplementedError for kp_num == 16)."""
 
+    @pytest.mark.parametrize("fast", [False, True])
     @pytest.mark.parametrize("num_joints,fmt",
                              [(17, "coco17"), (26, "halpe26"),
                               (68, "halpe68"), (136, "halpe136"),
                               (133, "coco_wholebody133")])
-    def test_matches_reference_vis_frame(self, num_joints, fmt):
+    def test_matches_reference_vis_frame(self, num_joints, fmt, fast):
         import sys
         import types
 
@@ -283,7 +284,9 @@ class TestPixelParity:
         sys.path.insert(0, "/root/reference/alphapose_core")
         try:
             import torch
-            from alphapose.utils.vis import vis_frame as ref_vis_frame
+            from alphapose.utils.vis import vis_frame as ref_slow
+            from alphapose.utils.vis import vis_frame_fast as ref_fast
+            ref_vis_frame = ref_fast if fast else ref_slow
         except Exception as e:
             pytest.skip(f"reference vis unavailable: {e}")
 
@@ -307,5 +310,5 @@ class TestPixelParity:
             for p in people:
                 sk.vis_frame(got, p["keypoints"].numpy(),
                              p["kp_score"].numpy()[:, 0], fmt=fmt,
-                             vis_thresh=0.4)
+                             vis_thresh=0.4, fast=fast)
             np.testing.assert_array_equal(got, want)

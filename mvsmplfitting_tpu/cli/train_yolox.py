@@ -37,7 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--no_aug_epochs", type=int, default=15,
-                   help="final epochs without mosaic, with L1 loss")
+                   help="final epochs without mosaic/mixup, with L1 "
+                        "loss")
+    p.add_argument("--no_mixup", action="store_true",
+                   help="disable MixUp (the reference trainer's "
+                        "enable_mixup=True default otherwise, "
+                        "mosaicdetection.py:148-160)")
     p.add_argument("--warmup_epochs", type=int, default=5)
     p.add_argument("--basic_lr_per_img", type=float, default=0.01 / 64,
                    help="lr = basic_lr_per_img * batch (yolox_base)")
@@ -140,7 +145,8 @@ def main(argv=None):
     ds = CocoDetTrainDataset(args.ann, args.img_root, hw,
                              batch_size=args.batch,
                              max_labels=args.max_labels,
-                             seed=args.seed)
+                             seed=args.seed,
+                             enable_mixup=not args.no_mixup)
     if len(ds) == 0:
         raise SystemExit("no full batches: fewer annotated images "
                          f"than --batch {args.batch}")

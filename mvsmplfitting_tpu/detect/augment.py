@@ -23,7 +23,9 @@ YOLOX detection training (`yolox/data/datasets/mosaicdetection.py:
   resizes and border label filtering, the T@S@R@C random affine with
   its ``box_candidates`` filter (note the reference compares post-warp
   boxes against PRE-warp boxes scaled by the affine's scale only),
-  HSV gain jitter, and horizontal mirror.
+  CopyPaste-style MixUp of a letterboxed co-sample
+  (`mosaicdetection.py:162-241`), HSV gain jitter, and horizontal
+  mirror.
 
 Padded label tensors for `yolox_loss.yolox_losses` come out of
 ``labels_to_padded``.
@@ -394,6 +396,72 @@ def labels_to_padded(labels_xyxy_cls: np.ndarray, max_labels: int
     return out
 
 
+def mixup(rng: np.random.Generator, origin_img: np.ndarray,
+          origin_labels: np.ndarray, cp_img: np.ndarray,
+          cp_labels: np.ndarray, input_hw: Tuple[int, int],
+          mixup_scale: Tuple[float, float] = (0.5, 1.5)):
+    """CopyPaste-style MixUp (`mosaicdetection.py:162-241`).
+
+    Blends a letterboxed, jit-scaled, optionally mirrored co-sample
+    into the post-affine mosaic image at 0.5/0.5 and concatenates its
+    surviving labels.  The caller supplies the co-sample (``cp_img``,
+    ``cp_labels`` (M, 5+) xyxy + class [+ extra] rows, M >= 1 — the
+    reference's resample-until-annotated loop is the dataset's job).
+
+    Reference quirks kept: the uint8 truncation round-trip of the
+    padded canvas (`:194-197`), no box clipping after the offset shift
+    (`:216-225` commented out), wh_thr=5 candidate filter, draw order
+    (jit, flip, y_offset, x_offset), and the no-op return when no
+    co-box survives (image NOT blended, `:228`).
+    """
+    import cv2
+    jit_factor = float(rng.uniform(*mixup_scale))
+    flip = bool(rng.uniform() > 0.5)
+    in_h, in_w = input_hw
+
+    cp_canvas = np.full((in_h, in_w, 3), 114.0, np.float32)
+    h0, w0 = cp_img.shape[:2]
+    r = min(in_h / h0, in_w / w0)
+    resized = cv2.resize(np.asarray(cp_img, np.float32),
+                         (int(w0 * r), int(h0 * r)),
+                         interpolation=cv2.INTER_LINEAR)
+    cp_canvas[: int(h0 * r), : int(w0 * r)] = resized
+    cp_canvas = cv2.resize(cp_canvas, (int(in_w * jit_factor),
+                                       int(in_h * jit_factor)))
+    r *= jit_factor
+    if flip:
+        cp_canvas = cp_canvas[:, ::-1]
+
+    oh, ow = cp_canvas.shape[:2]
+    th, tw = origin_img.shape[:2]
+    padded = np.zeros((max(oh, th), max(ow, tw), 3), np.uint8)
+    padded[:oh, :ow] = cp_canvas            # uint8 truncation (quirk)
+    y_off = (int(rng.integers(0, padded.shape[0] - th))
+             if padded.shape[0] > th else 0)
+    x_off = (int(rng.integers(0, padded.shape[1] - tw))
+             if padded.shape[1] > tw else 0)
+    cropped = padded[y_off:y_off + th, x_off:x_off + tw]
+
+    lab = np.asarray(cp_labels, np.float32).copy()
+    boxes_o = lab[:, :4] * r                 # adjust_box_anns, no clip
+    if flip:
+        boxes_o[:, 0::2] = ow - boxes_o[:, 0::2][:, ::-1]
+    boxes_t = boxes_o.copy()
+    boxes_t[:, 0::2] -= x_off
+    boxes_t[:, 1::2] -= y_off
+    keep = box_candidates(boxes_o.T, boxes_t.T, wh_thr=5)
+
+    origin_labels = np.asarray(origin_labels, np.float32)
+    if keep.sum() >= 1:
+        new = np.concatenate([boxes_t[keep], lab[keep, 4:]], axis=1)
+        new = new[(new[:, 0] < tw) & (new[:, 2] > 0)
+                  & (new[:, 1] < th) & (new[:, 3] > 0)]
+        origin_labels = np.vstack([origin_labels, new])
+        origin_img = (0.5 * np.asarray(origin_img, np.float32)
+                      + 0.5 * cropped.astype(np.float32))
+    return origin_img, origin_labels
+
+
 def yolox_train_sample(rng: np.random.Generator,
                        images: Sequence[np.ndarray],
                        labels_list: Sequence[np.ndarray],
@@ -401,11 +469,16 @@ def yolox_train_sample(rng: np.random.Generator,
                        max_labels: int = 100,
                        degrees: float = 10.0, translate: float = 0.1,
                        scale_range: Tuple[float, float] = (0.5, 1.5),
-                       shear: float = 2.0):
+                       shear: float = 2.0,
+                       cp_image: Optional[np.ndarray] = None,
+                       cp_labels: Optional[np.ndarray] = None,
+                       mixup_scale: Tuple[float, float] = (0.5, 1.5)):
     """Full mosaic pipeline for one training sample
-    (`mosaicdetection.py:77-160` minus mixup): mosaic -> random affine
-    with border (-H/2, -W/2) -> hsv -> mirror -> letterbox resize to
-    ``input_hw`` -> padded label tensor."""
+    (`mosaicdetection.py:77-160`): mosaic -> random affine with border
+    (-H/2, -W/2) -> mixup (when a co-sample is given and any mosaic
+    label survived — the trainer's ``enable_mixup=True`` default,
+    `:148-160`) -> hsv -> mirror -> letterbox resize to ``input_hw`` ->
+    padded label tensor."""
     input_h, input_w = input_hw
     canvas, lab = mosaic4(rng, images, labels_list, input_hw)
     # the reference's border=(-H/2, -W/2) makes random_perspective map
@@ -413,6 +486,10 @@ def yolox_train_sample(rng: np.random.Generator,
     img, lab = random_affine(rng, canvas, lab, degrees, translate,
                              scale_range, shear,
                              out_hw=(input_h, input_w))
+    if cp_image is not None and lab.size:
+        img, lab = mixup(rng, img, lab, cp_image,
+                         np.asarray(cp_labels, np.float32),
+                         input_hw, mixup_scale)
     img = augment_hsv(rng, img)
     img, lab = mirror_boxes(rng, img, lab if lab.size else
                             np.zeros((0, 5), np.float32))

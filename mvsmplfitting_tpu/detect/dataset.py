@@ -286,12 +286,19 @@ class CocoDetTrainDataset:
                  seed: int = 0, mosaic: bool = True,
                  degrees: float = 10.0, translate: float = 0.1,
                  scale_range: Tuple[float, float] = (0.5, 1.5),
-                 shear: float = 2.0, mirror_prob: float = 0.5):
+                 shear: float = 2.0, mirror_prob: float = 0.5,
+                 enable_mixup: bool = True,
+                 mixup_scale: Tuple[float, float] = (0.5, 1.5)):
         self.img_root = img_root
         self.input_hw = input_hw
         self.batch_size = batch_size
         self.max_labels = max_labels
         self.mosaic = mosaic
+        # MixUp rides the mosaic path only, as in the reference trainer
+        # (`mosaicdetection.py:148-160`, enable_mixup=True default;
+        # close_mosaic disables both).
+        self.enable_mixup = enable_mixup
+        self.mixup_scale = mixup_scale
         self.aug = dict(degrees=degrees, translate=translate,
                         scale_range=scale_range, shear=shear)
         self.mirror_prob = mirror_prob
@@ -368,10 +375,19 @@ class CocoDetTrainDataset:
                         int(v) for v in self.rng.integers(
                             0, len(self.entries), 3)]
                     loaded = [self._load(p) for p in picks]
+                    cp_img = cp_lab = None
+                    if self.enable_mixup:
+                        # every entry has >= 1 box by construction, so
+                        # one draw replaces the reference's
+                        # resample-until-annotated loop (`:166-168`).
+                        cp_img, cp_lab = self._load(int(
+                            self.rng.integers(0, len(self.entries))))
                     img, lab = yolox_train_sample(
                         self.rng, [im for im, _ in loaded],
                         [lb for _, lb in loaded], self.input_hw,
-                        max_labels=self.max_labels, **self.aug)
+                        max_labels=self.max_labels,
+                        cp_image=cp_img, cp_labels=cp_lab,
+                        mixup_scale=self.mixup_scale, **self.aug)
                 else:
                     img, lab = self._plain_sample(int(idx))
                 imgs[i] = img

@@ -300,6 +300,160 @@ class TestMosaic:
         assert np.isfinite(float(out["total"]))
 
 
+class _ReplayRng:
+    """np.random.Generator stand-in replaying scripted draws, so our
+    mixup consumes EXACTLY the values the patched reference drew."""
+
+    def __init__(self, uniforms, ints):
+        self.uniforms = list(uniforms)
+        self.ints = list(ints)
+
+    def uniform(self, *a, **k):
+        return self.uniforms.pop(0)
+
+    def integers(self, *a, **k):
+        return self.ints.pop(0)
+
+
+class TestMixupGolden:
+    """Golden: our `mixup` vs the reference's
+    `MosaicDetection.mixup` (`mosaicdetection.py:162-241`) with
+    identical scripted randomness on identical float images."""
+
+    def _reference_mixup(self, monkeypatch, origin_img, origin_labels,
+                         cp_img, cp_labels, input_dim, uniforms, ints):
+        import random as _random
+        sys.path.insert(0, "/root/reference")
+        # Stub the reference's unused heavy deps (absent in this env)
+        # and bypass yolox/data/__init__.py (which drags in
+        # pycocotools via MOTDataset) with synthetic package modules so
+        # only mosaicdetection + its actual deps execute.
+        for name, attrs in (("torchvision", {}),
+                            ("thop", {"profile":
+                                      lambda *a, **k: (0, 0)})):
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+                sys.modules[name] = m
+        if "loguru" not in sys.modules:
+            loguru = types.ModuleType("loguru")
+
+            class _L:
+                def __getattr__(self, name):
+                    return lambda *a, **k: None
+
+            loguru.logger = _L()
+            sys.modules["loguru"] = loguru
+        for name in ("yolox", "yolox.data", "yolox.data.datasets"):
+            if name not in sys.modules:
+                pkg = types.ModuleType(name)
+                pkg.__path__ = ["/root/reference/"
+                                + name.replace(".", "/")]
+                sys.modules[name] = pkg
+        try:
+            import importlib
+            MosaicDetection = importlib.import_module(
+                "yolox.data.datasets.mosaicdetection").MosaicDetection
+        except Exception as e:              # pragma: no cover
+            pytest.skip(f"reference yolox unimportable: {e}")
+        finally:
+            sys.path.pop(0)
+
+        class _Stub:
+            def __len__(self):
+                return 1
+
+            def load_anno(self, i):
+                return cp_labels
+
+            def pull_item(self, i):
+                return cp_img.copy(), cp_labels.copy(), None, None
+
+        us, js = list(uniforms), list(ints)
+        monkeypatch.setattr(_random, "uniform",
+                            lambda *a, **k: us.pop(0))
+        monkeypatch.setattr(_random, "randint",
+                            lambda *a, **k: js.pop(0))
+        md = MosaicDetection.__new__(MosaicDetection)
+        md._dataset = _Stub()
+        md.mixup_scale = (0.5, 1.5)
+        return md.mixup(origin_img.copy(), origin_labels.copy(),
+                        input_dim)
+
+    def _case(self, monkeypatch, uniforms, ref_ints, our_ints):
+        from mvsmplfitting_tpu.detect.augment import mixup
+        rng = np.random.default_rng(13)
+        hw = (96, 128)
+        origin_img = rng.uniform(0, 255, (*hw, 3)).astype(np.float32)
+        origin_labels = np.asarray(
+            [[10, 12, 60, 70, 0, 0], [40, 5, 90, 88, 0, 1]],
+            np.float32)
+        cp_img = rng.uniform(0, 255, (80, 100, 3)).astype(np.float32)
+        cp_labels = np.asarray(
+            [[5, 8, 70, 60, 0, 0], [30, 30, 95, 75, 0, 1],
+             [0, 0, 3, 3, 0, 2]],           # fails wh_thr=5
+            np.float32)
+
+        want_img, want_lab = self._reference_mixup(
+            monkeypatch, origin_img, origin_labels, cp_img, cp_labels,
+            hw, uniforms, ref_ints)
+        got_img, got_lab = mixup(
+            _ReplayRng(uniforms, our_ints), origin_img.copy(),
+            origin_labels.copy(), cp_img, cp_labels, hw)
+
+        assert got_lab.shape == np.asarray(want_lab).shape
+        np.testing.assert_allclose(got_lab, want_lab, atol=1e-3)
+        # image path crosses float64 (ref) vs float32 (ours) plus the
+        # shared uint8 truncation; allow sub-LSB drift.
+        np.testing.assert_allclose(got_img, want_img, atol=1.0)
+        assert np.abs(got_img - want_img).mean() < 0.02
+        return got_img, got_lab
+
+    def test_upscale_flip_crop(self, monkeypatch):
+        # jit=1.3 (padded larger than target in both dims -> y then x
+        # offsets drawn), flip on (0.7 > 0.5).
+        img, lab = self._case(monkeypatch, uniforms=[1.3, 0.7],
+                              ref_ints=[0, 17, 9], our_ints=[17, 9])
+        assert lab.shape[0] > 2          # co-sample labels appended
+
+    def test_downscale_noflip_nocrop(self, monkeypatch):
+        # jit=0.8 (canvas smaller than target -> no offsets), no flip.
+        self._case(monkeypatch, uniforms=[0.8, 0.2],
+                   ref_ints=[0], our_ints=[])
+
+    def test_no_survivor_keeps_image(self, monkeypatch):
+        """When every co-box fails the wh_thr=5 filter the reference
+        returns the image UNBLENDED (`:228`); so must we."""
+        from mvsmplfitting_tpu.detect.augment import mixup
+        rng = np.random.default_rng(14)
+        hw = (96, 128)
+        origin_img = rng.uniform(0, 255, (*hw, 3)).astype(np.float32)
+        origin_labels = np.asarray([[10, 12, 60, 70, 0]], np.float32)
+        cp_img = rng.uniform(0, 255, (80, 100, 3)).astype(np.float32)
+        tiny = np.asarray([[0, 0, 3, 3, 0]], np.float32)
+        got_img, got_lab = mixup(_ReplayRng([0.8, 0.2], []),
+                                 origin_img.copy(), origin_labels,
+                                 cp_img, tiny, hw)
+        np.testing.assert_array_equal(got_img, origin_img)
+        np.testing.assert_array_equal(got_lab, origin_labels)
+
+    def test_train_sample_with_mixup_feeds_loss(self):
+        from mvsmplfitting_tpu.detect.augment import (
+            labels_to_padded, yolox_train_sample)
+        rng = np.random.default_rng(15)
+        hw = (64, 96)
+        imgs = [rng.uniform(0, 255, (60, 80, 3)).astype(np.float32)
+                for _ in range(4)]
+        labels = [np.asarray([[10, 10, 50, 50, 0]], np.float32)
+                  for _ in range(4)]
+        img, padded = yolox_train_sample(
+            rng, imgs, labels, hw, max_labels=10,
+            cp_image=imgs[0], cp_labels=labels[0])
+        assert img.shape == (64, 96, 3)
+        assert np.isfinite(img).all() and np.isfinite(padded).all()
+
+
 def test_flip_joints_narrow_skeleton():
     """Pair tables wider than the skeleton are skipped, not an
     IndexError (joint-count-generic datasets, e.g. 5-joint toys)."""

@@ -35,7 +35,9 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                img_height: float = 1080.0,
                est_scale: bool = True,
                refine_collision: Optional[bool] = None,
-               lagged_sdf: bool = True
+               lagged_sdf="hybrid",
+               refine_iters: int = 12,
+               polish_iters: int = 5,
                ) -> Tuple[FitResult, jnp.ndarray]:
     """Fit P people in one frame.
 
@@ -43,12 +45,19 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
       obs_people: Observations with a leading person axis (P, V, ...).
       refine_collision: run the joint SDF refinement stage; defaults to
         `cfg.spec.interpenetration`.
-      lagged_sdf: voxelize once per LM iteration (the aux hook) instead
-        of once per residual evaluation.  ~2x cheaper (0.9 s/frame vs
-        ~1.6 s at G=32 on one chip) at some refinement-quality cost
-        (measured final joint energy 1.6e8 vs 1.1e8 on the synthetic
-        two-person overlap); False gives the reference's
-        every-evaluation semantics (`code/utils/fitting.py:352-394`).
+      lagged_sdf: SDF-refinement schedule.
+        * True ("lagged"): voxelize once per LM iteration (the aux
+          hook) instead of once per residual evaluation.  ~2x cheaper
+          than exact but converges to a worse joint energy (measured
+          1.6e8 vs 1.1e8 on the synthetic two-person overlap).
+        * False ("exact"): the reference's every-evaluation semantics
+          (`code/utils/fitting.py:352-394`), ~2x slower.
+        * "hybrid" (default): `refine_iters` lagged iterations to get
+          near the basin cheaply, then `polish_iters` exact-semantics
+          iterations to land at the reference-quality minimum —
+          reference-equal energy at near-lagged cost (the round-3
+          quality/speed fix).
+      refine_iters / polish_iters: hybrid-schedule budgets.
 
     Returns:
       (batched FitResult over people, collision sums (P,) after fitting
@@ -121,30 +130,40 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
         coll_rows = weights.coll * s / P
         return jnp.concatenate([rows, coll_rows])
 
+    from ..ops.sdf import collision_sums
+
+    def joint_residual_exact(flat):
+        xs = flat.reshape(P, n)
+        rows = jax.vmap(
+            lambda x, o: E.residuals(solo_spec, assets, cam, o,
+                                     weights, vposer_w, gmm, x))(
+            xs, obs_people).reshape(-1)
+        s = collision_sums(all_verts(xs), assets.faces,
+                           spec.coll_grid_size, spec.use_pallas_sdf)
+        return jnp.concatenate([rows, weights.coll * s / P])
+
     mask = jnp.tile(E.free_mask(solo_spec), P)
     # speculative=False always: the stiff collision refinement degrades
     # badly under speculative step judging (measured joint energy 3.2e8
     # vs 1.6e8 lagged / 1.1e8 exact — docs/BENCH_NOTES.md), so the
     # session's production default must not leak into this solve.
-    refine_lm = cfg.lm.replace(max_iters=15, speculative=False)
-    if lagged_sdf:
-        flat, loss = lm_fit(joint_residual, xs0.reshape(-1), mask,
-                            refine_lm, aux_fn=grids_of)
-    else:
-        from ..ops.sdf import collision_sums
-
-        def joint_residual_exact(flat):
-            xs = flat.reshape(P, n)
-            rows = jax.vmap(
-                lambda x, o: E.residuals(solo_spec, assets, cam, o,
-                                         weights, vposer_w, gmm, x))(
-                xs, obs_people).reshape(-1)
-            s = collision_sums(all_verts(xs), assets.faces,
-                               spec.coll_grid_size, spec.use_pallas_sdf)
-            return jnp.concatenate([rows, weights.coll * s / P])
-
-        flat, loss = lm_fit(joint_residual_exact, xs0.reshape(-1),
-                            mask, refine_lm)
+    base_lm = cfg.lm.replace(speculative=False)
+    mode = (lagged_sdf if isinstance(lagged_sdf, str)
+            else ("lagged" if lagged_sdf else "exact"))
+    flat = xs0.reshape(-1)
+    if mode == "lagged":
+        flat, loss = lm_fit(joint_residual, flat, mask,
+                            base_lm.replace(max_iters=15),
+                            aux_fn=grids_of)
+    elif mode == "exact":
+        flat, loss = lm_fit(joint_residual_exact, flat, mask,
+                            base_lm.replace(max_iters=15))
+    else:                                 # hybrid: lagged then exact
+        flat, _ = lm_fit(joint_residual, flat, mask,
+                         base_lm.replace(max_iters=refine_iters),
+                         aux_fn=grids_of)
+        flat, loss = lm_fit(joint_residual_exact, flat, mask,
+                            base_lm.replace(max_iters=polish_iters))
     xs = flat.reshape(P, n)
 
     def unpack_person(x):
@@ -157,7 +176,6 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
 
     params, z, body_pose = jax.vmap(unpack_person)(xs)
 
-    from ..ops.sdf import collision_sums
     final_sums = collision_sums(all_verts(xs), assets.faces,
                                 spec.coll_grid_size, spec.use_pallas_sdf)
 

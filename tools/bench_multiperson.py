@@ -1,7 +1,8 @@
 """One-off chip measurement: multi-person + SDF fit (BASELINE cfg 4).
 
 Run on the real TPU (serialized — one TPU process at a time):
-    timeout 1700 python tools/bench_multiperson.py [grid [lagged01]]
+    timeout 1700 python tools/bench_multiperson.py [grid [mode]]
+mode: 1/lagged, 0/exact, hybrid (default 1).
 
 The synthetic two-person-overlap problem from the r2 measurements
 (`docs/BENCH_NOTES.md` multi-person rows): P=2 people 0.5 m apart,
@@ -56,7 +57,9 @@ def make_cameras(num_views=6, radius=4.0):
 
 def main():
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    lagged = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
+    raw = sys.argv[2] if len(sys.argv) > 2 else "1"
+    lagged = ({"1": True, "lagged": True, "0": False, "exact": False}
+              .get(raw, raw))
     rng = np.random.default_rng(7)
     assets = with_joint_model(synthetic_smpl())
     path = os.path.join(os.path.dirname(__file__), "..", "assets",
@@ -95,18 +98,27 @@ def main():
                                    lagged_sdf=lagged)
         return results.loss, sums
 
+    def joint_energy(loss, sums):
+        # Per-person data+prior energies plus the collision rows under
+        # the final-stage weight — the exact objective of the joint
+        # refinement solve (fit_people's joint_residual).
+        w_coll = cfg.coll_weights[-1]
+        return float(loss.sum() + ((w_coll * sums / 2.0) ** 2).sum())
+
     print(f"grid={grid} lagged={lagged} "
           f"device={jax.devices()[0]}", flush=True)
     t0 = time.perf_counter()
     loss, sums = jax.tree.map(np.asarray, run())
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
-          f"loss={loss} coll_sums={sums}", flush=True)
+          f"loss={loss} coll_sums={sums} "
+          f"joint_energy={joint_energy(loss, sums):.4g}", flush=True)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         loss, sums = jax.tree.map(np.asarray, run())
     dt = (time.perf_counter() - t0) / reps
-    print(f"s/frame: {dt:.3f}  loss={loss} coll_sums={sums}")
+    print(f"s/frame: {dt:.3f}  loss={loss} coll_sums={sums} "
+          f"joint_energy={joint_energy(loss, sums):.4g}")
 
 
 if __name__ == "__main__":

@@ -132,22 +132,26 @@ class Focus(nn.Module):
 
 
 class SPPBottleneck(nn.Module):
-    """Spatial pyramid pooling (`network_blocks.py:91-118`)."""
+    """Spatial pyramid pooling (`network_blocks.py:91-118`).  The
+    PAFPN path uses the silu default; the YOLOv3 Darknet-53 backbone
+    builds it with ``activation="lrelu"`` (`darknet.py:66-80`)."""
 
     features: int
     kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    act: str = "silu"
 
     @nn.compact
     def __call__(self, x):
         hidden = x.shape[-1] // 2
-        x = ConvBnAct(hidden, 1, 1, name="conv1")(x)
+        x = ConvBnAct(hidden, 1, 1, act=self.act, name="conv1")(x)
         pools = [x]
         for k in self.kernel_sizes:
             pools.append(nn.max_pool(
                 x, (k, k), strides=(1, 1),
                 padding=((k // 2, k // 2), (k // 2, k // 2))))
         x = jnp.concatenate(pools, axis=-1)
-        return ConvBnAct(self.features, 1, 1, name="conv2")(x)
+        return ConvBnAct(self.features, 1, 1, act=self.act,
+                         name="conv2")(x)
 
 
 # ---------------------------------------------------------------------------

@@ -460,6 +460,55 @@ def convert_hybrik_sd(sd: Dict) -> Dict:
     return {"params": t.params, "batch_stats": t.stats}
 
 
+def convert_yolo_fpn(path: str, depth: int = 53) -> Dict:
+    """Convert a YOLOFPN (darknet53) torch checkpoint to flax."""
+    return convert_yolo_fpn_sd(load_torch_state_dict(path), depth)
+
+
+def convert_yolo_fpn_sd(sd: Dict, depth: int = 53) -> Dict:
+    """`yolox/models/yolo_fpn.py:12-84` + `darknet.py:10-94`
+    state_dict -> flax variables for `yolo_fpn.YOLOFPN`.
+
+    Sequential index map: stem = [BaseConv, BaseConv s2, ResLayer];
+    dark2-5 = [BaseConv s2, ResLayer x n]; dark5 additionally ends in
+    the SPP block [.5 cbl, .6 cbl, .7 SPPBottleneck, .8 cbl, .9 cbl]
+    (`darknet.py:54-57,66-80`); out1/out2 = cbl + 5-conv embedding.
+    """
+    t = _Tree()
+    blocks = {21: (1, 2, 2, 1), 53: (2, 8, 8, 4)}[depth]
+    bb = ("backbone",)
+
+    t.put(bb + ("stem0",), _convbn(sd, "backbone.stem.0"))
+    t.put(bb + ("stem1_conv",), _convbn(sd, "backbone.stem.1"))
+    t.put(bb + ("stem1_res0", "layer1"),
+          _convbn(sd, "backbone.stem.2.layer1"))
+    t.put(bb + ("stem1_res0", "layer2"),
+          _convbn(sd, "backbone.stem.2.layer2"))
+    for name, n in zip(("dark2", "dark3", "dark4", "dark5"), blocks):
+        t.put(bb + (f"{name}_conv",), _convbn(sd, f"backbone.{name}.0"))
+        for i in range(n):
+            for layer in ("layer1", "layer2"):
+                t.put(bb + (f"{name}_res{i}", layer),
+                      _convbn(sd, f"backbone.{name}.{i + 1}.{layer}"))
+    n5 = blocks[3]
+    for j, dst in enumerate(("dark5_spp0", "dark5_spp1", None,
+                             "dark5_spp3", "dark5_spp4")):
+        src = f"backbone.dark5.{n5 + 1 + j}"
+        if dst is None:                   # the SPPBottleneck itself
+            t.put(bb + ("dark5_spp2", "conv1"),
+                  _convbn(sd, src + ".conv1"))
+            t.put(bb + ("dark5_spp2", "conv2"),
+                  _convbn(sd, src + ".conv2"))
+        else:
+            t.put(bb + (dst,), _convbn(sd, src))
+
+    for out in ("out1", "out2"):
+        t.put((f"{out}_cbl",), _convbn(sd, f"{out}_cbl"))
+        for i in range(5):
+            t.put((f"{out}_{i}",), _convbn(sd, f"{out}.{i}"))
+    return {"params": t.params, "batch_stats": t.stats}
+
+
 POSE_CONVERTERS = {
     "fastpose": convert_fastpose,
     "simplepose": convert_simplepose,

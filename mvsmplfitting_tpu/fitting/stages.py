@@ -148,9 +148,18 @@ def fit_frame(cfg: FitConfig, assets: SMPLAssets, cam: Camera,
 
     stages = default_stages(cfg, jnp.asarray(img_height, jnp.float32),
                             seq_start)
+    # Collision stages only differ when the energy actually computes
+    # collision; with interpenetration off, coll_on is dead code and
+    # must not block fusing (the demo config's (0,0,1000,4500) weights
+    # otherwise disable the fused path for nothing).
     use_fused = (cfg.fused and cfg.solver == "lm" and
-                 len({w.coll_on for w in stages}) == 1)
+                 (not spec.interpenetration or
+                  len({w.coll_on for w in stages}) == 1))
     if use_fused:
+        if not spec.interpenetration:
+            # coll_on is a static pytree field; normalize the dead flag
+            # so the per-stage trees share one structure for stacking.
+            stages = [s.replace(coll_on=False) for s in stages]
         table = jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
         mask = E.free_mask(spec)
 

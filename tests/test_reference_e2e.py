@@ -93,6 +93,14 @@ def _assert_parity(ref, ours, loss_tol, scale_tol, corr_min,
     pr = np.asarray(ref["pose_embedding"]).ravel()
     po = np.asarray(ours["pose_embedding"]).ravel()
     corr = float(np.corrcoef(pr, po)[0, 1])
+    # Record the measured numbers (visible with -s) so each re-run can
+    # refresh the README/PARITY headline instead of letting it go stale
+    # (round-2 verdict weak #4).
+    print(f"[parity] loss {ref_loss:.1f} vs {our_loss:.1f} "
+          f"({100 * abs(our_loss - ref_loss) / ref_loss:.2f}%), "
+          f"scale {ref_scale:.4f} vs {our_scale:.4f} "
+          f"({100 * abs(our_scale - ref_scale) / ref_scale:.2f}%), "
+          f"transl {dt:.4f}, pose corr {corr:.3f}")
     assert corr > corr_min, corr
 
 

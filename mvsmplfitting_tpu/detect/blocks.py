@@ -214,7 +214,14 @@ class DeformConvBlock(nn.Module):
 
 class ResBottleneck(nn.Module):
     """ResNet-50 bottleneck with optional SE and optional DCN conv2
-    (`SE_Resnet.py:59-141`)."""
+    (`SE_Resnet.py:59-141`).
+
+    `shuffle=True` gives the ShuffleResnet variant
+    (`layers/ShuffleResnet.py:60-123`): a strided conv2 becomes
+    PixelUnshuffle(stride) + a stride-1 3x3 conv (or DCN) over the
+    4x-widened channels — downsampling by space-to-depth instead of
+    discarding samples.
+    """
 
     planes: int
     stride: int = 1
@@ -223,19 +230,24 @@ class ResBottleneck(nn.Module):
     dcn: bool = False
     dcn_modulated: bool = False
     deformable_groups: int = 1
+    shuffle: bool = False
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = ConvBnAct(self.planes, 1, 1, act="relu", name="conv1")(x)
+        unshuffled = self.shuffle and self.stride > 1
+        if unshuffled:
+            out = pixel_unshuffle(out, self.stride)
+        conv2_stride = 1 if unshuffled else self.stride
         if self.dcn:
-            out = DeformConvBlock(self.planes, self.stride,
+            out = DeformConvBlock(self.planes, conv2_stride,
                                   self.deformable_groups,
                                   self.dcn_modulated, name="conv2")(out)
             out = batch_norm(self, name="bn2")(out)
             out = nn.relu(out)
         else:
-            out = ConvBnAct(self.planes, 3, self.stride, act="relu",
+            out = ConvBnAct(self.planes, 3, conv2_stride, act="relu",
                             name="conv2")(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       name="conv3")(out)
@@ -262,6 +274,21 @@ def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     x = x.reshape(n, h, w, co, r, r)
     x = x.transpose(0, 1, 4, 2, 5, 3)                    # n h r w r co
     return x.reshape(n, h * r, w * r, co)
+
+
+def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC space-to-depth matching the reference's NCHW
+    `layers/PixelUnshuffle.py:20-28`: output channel order is
+    [c, row_offset, col_offset], i.e. channel ((c*r + i)*r + j) holds
+    input channel c at spatial offset (i, j) — so torch-converted
+    weights of the following conv apply unchanged.
+    """
+    n, h, w, c = x.shape
+    r = factor
+    oh, ow = h // r, w // r
+    x = x.reshape(n, oh, r, ow, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)                    # n oh ow c r r
+    return x.reshape(n, oh, ow, c * r * r)
 
 
 class DUC(nn.Module):

@@ -284,8 +284,11 @@ def _deconv(sd, name):
 
 def _resnet_backbone(t, sd, dst_root, src_root,
                      blocks=(3, 4, 6, 3), se=False):
-    """Reference `layers/Resnet.py` (or `SE_Resnet.py`) state_dict ->
-    the flax `ResNet50`/`SEResnet` param layout."""
+    """Reference `layers/Resnet.py` / `SE_Resnet.py` /
+    `ShuffleResnet.py` state_dict -> the flax `ResNet50`/`SEResnet`
+    param layout.  ShuffleResnet's strided conv2 is a Sequential
+    [PixelUnshuffle, Conv2d] (`ShuffleResnet.py:76-86`), detected by
+    the `conv2.1.weight` key (PixelUnshuffle has no params)."""
     t.put((dst_root, "stem"), ({"conv": _conv(sd, src_root + ".conv1"),
                                 "bn": _bn(sd, src_root + ".bn1")},
                                {"bn": _bn_stats(sd, src_root + ".bn1")}))
@@ -297,14 +300,19 @@ def _resnet_backbone(t, sd, dst_root, src_root,
                   ({"conv": _conv(sd, src + ".conv1"),
                     "bn": _bn(sd, src + ".bn1")},
                    {"bn": _bn_stats(sd, src + ".bn1")}))
+            c2 = (src + ".conv2.1"
+                  if src + ".conv2.1.weight" in sd else src + ".conv2")
             t.put((dst_root, dst, "conv2"),
-                  ({"conv": _conv(sd, src + ".conv2"),
+                  ({"conv": _conv(sd, c2),
                     "bn": _bn(sd, src + ".bn2")},
                    {"bn": _bn_stats(sd, src + ".bn2")}))
             t.params[dst_root][dst]["conv3"] = _conv(sd, src + ".conv3")
             t.params[dst_root][dst]["bn3"] = _bn(sd, src + ".bn3")
             t.stats[dst_root][dst]["bn3"] = _bn_stats(sd, src + ".bn3")
-            if se:
+            # SE exists only on each stage's first block
+            # (`SE_Resnet.py:201-207` / `ShuffleResnet.py:186-192`:
+            # reduction=True iff downsample) — detect by key.
+            if se and f"{src}.se.fc.0.weight" in sd:
                 t.params[dst_root][dst]["se"] = {
                     "fc1": _dense(sd, src + ".se.fc.0"),
                     "fc2": _dense(sd, src + ".se.fc.2"),

@@ -20,17 +20,27 @@ from .blocks import ConvBnAct, DUC, ResBottleneck, pixel_shuffle
 
 class SEResnet50(nn.Module):
     # `-dcn-` zoo configs enable DCN per stage (`SE_Resnet.py:147,171`).
+    # `shuffle=True` gives the reference's ShuffleResnet
+    # (`layers/ShuffleResnet.py:126-198`): identical SE-bottleneck
+    # topology, but every strided conv2 downsamples by
+    # PixelUnshuffle + stride-1 conv.  `depths` selects the bottleneck
+    # architectures (resnet50/101/152: (3,4,6,3)/(3,4,23,3)/(3,8,36,3));
+    # the BasicBlock resnet18 branch is out of scope (no FastPose head
+    # accepts its 512-channel output).
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dcn_modulated: bool = False
     deformable_groups: int = 1
+    shuffle: bool = False
+    depths: Tuple[int, ...] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, x):
         x = ConvBnAct(64, 7, 2, act="relu", name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
                                                             (1, 1)))
-        cfg = [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]
-        for s, (planes, blocks, stride) in enumerate(cfg):
+        planes_strides = [(64, 1), (128, 2), (256, 2), (512, 2)]
+        for s, ((planes, stride), blocks) in enumerate(
+                zip(planes_strides, self.depths)):
             for b in range(blocks):
                 first = b == 0
                 x = ResBottleneck(
@@ -39,6 +49,7 @@ class SEResnet50(nn.Module):
                     dcn=self.stage_with_dcn[s],
                     dcn_modulated=self.dcn_modulated,
                     deformable_groups=self.deformable_groups,
+                    shuffle=self.shuffle,
                     name=f"layer{s + 1}_{b}")(x)
         return x                                        # (N, H/32, W/32, 2048)
 

@@ -13,10 +13,12 @@ independently-weighted DUC chain off the same backbone features and
 concatenates its `num_joints_dense - num_joints` extra heatmaps onto
 the base head's output.
 
-The shuffle backbone option is intentionally not rebuilt (its
-`ShuffleResnet` exists only for training-from-scratch experiments);
-`se=True` gives the SE-ResNet50 used by the strongest released
-checkpoints.
+The reference's three `BACKBONE` choices (`fastpose_duc.py:21-29`) all
+exist: plain ResNet (default), `se=True` for SE-ResNet50 (the strongest
+released checkpoints), and `shuffle=True` for ShuffleResnet
+(`layers/ShuffleResnet.py` — SE-bottlenecks whose strided convs
+downsample by PixelUnshuffle; a training-from-scratch experiment
+backbone, golden-tested against the reference torch code).
 """
 
 from __future__ import annotations
@@ -52,17 +54,25 @@ class DUCStage(nn.Module):
         return nn.relu(x)
 
 
+def _backbone(se: bool, shuffle: bool):
+    """BACKBONE selection (`fastpose_duc.py:21-29`): 'shuffle' |
+    'se-resnet' | plain resnet."""
+    if shuffle:
+        return SEResnet50(shuffle=True, name="preact")
+    return (SEResnet50 if se else ResNet50)(name="preact")
+
+
 class FastPoseDUC(nn.Module):
     num_joints: int = 17
     num_convs: Tuple[int, int, int] = (4, 2, 1)
     conv_dim: int = 256
     se: bool = False
+    shuffle: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) -> (N, H/4, W/4, J) heatmaps."""
-        backbone = (SEResnet50 if self.se else ResNet50)(name="preact")
-        x = backbone(x)
+        x = _backbone(self.se, self.shuffle)(x)
         x = DUCStage(1024, self.num_convs[0], name="duc1")(x)
         x = DUCStage(512, self.num_convs[1], name="duc2")(x)
         x = DUCStage(self.conv_dim, self.num_convs[2], name="duc3")(x)
@@ -76,14 +86,14 @@ class FastPoseDUCDense(nn.Module):
     num_convs: Tuple[int, int, int] = (4, 2, 1)
     conv_dim: int = 256
     se: bool = False
+    shuffle: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) -> (N, H/4, W/4, J_dense) heatmaps
         (base joints first, dense extras concatenated after —
         `fastpose_duc_dense.py:117-123`)."""
-        backbone = (SEResnet50 if self.se else ResNet50)(name="preact")
-        feat = backbone(x)
+        feat = _backbone(self.se, self.shuffle)(x)
 
         def chain(prefix):
             y = DUCStage(1024, self.num_convs[0],

@@ -268,3 +268,129 @@ class TestDUCTorchParity:
             variables, jnp.asarray(x)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def _load_reference_shuffle_resnet():
+    """Load the reference's ShuffleResnet (+ its relative imports) as a
+    synthetic package, like test_detect does for SE_Resnet."""
+    import importlib.util
+    import sys
+    import types
+
+    layers_dir = ("/root/reference/alphapose_core/alphapose/"
+                  "models/layers")
+    pkg = types.ModuleType("apx_layers")
+    pkg.__path__ = [layers_dir]
+    sys.modules.setdefault("apx_layers", pkg)
+
+    def load(name):
+        if f"apx_layers.{name}" in sys.modules:
+            return sys.modules[f"apx_layers.{name}"]
+        spec = importlib.util.spec_from_file_location(
+            f"apx_layers.{name}", f"{layers_dir}/{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"apx_layers.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("SE_module")
+    load("PixelUnshuffle")
+    return load("ShuffleResnet").ShuffleResnet
+
+
+class TestShuffleResnet:
+    """ShuffleResnet backbone (`layers/ShuffleResnet.py`) — the
+    reference's third BACKBONE choice (`fastpose_duc.py:21-23`)."""
+
+    def test_pixel_unshuffle_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        import importlib.util
+
+        from mvsmplfitting_tpu.detect.blocks import pixel_unshuffle
+
+        path = ("/root/reference/alphapose_core/alphapose/models/"
+                "layers/PixelUnshuffle.py")
+        spec = importlib.util.spec_from_file_location("apx_pu", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        x = rng.standard_normal((2, 8, 12, 5)).astype(np.float32)
+        for r in (2, 3):
+            if 8 % r or 12 % r:
+                continue
+            with torch.no_grad():
+                want = mod.PixelUnshuffle(r)(
+                    torch.from_numpy(x.transpose(0, 3, 1, 2))
+                ).numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(pixel_unshuffle(jnp.asarray(x), r))
+            np.testing.assert_array_equal(got, want)
+
+    def test_shuffle_duc_full_graph_matches_torch(self):
+        """Reference ShuffleResnet('resnet50') + `_make_duc_stage`
+        chain + head vs FastPoseDUC(shuffle=True) with converted
+        random weights (`ShuffleResnet.py:60-198`)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        try:
+            ShuffleResnet = _load_reference_shuffle_resnet()
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference alphapose unavailable: {e}")
+
+        def duc_stage(num_conv, inplanes, outplanes):
+            layers = [tnn.PixelShuffle(2)]
+            inplanes //= 4
+            for _ in range(num_conv - 1):
+                layers += [tnn.Conv2d(inplanes, inplanes, 3, padding=1,
+                                      bias=False),
+                           tnn.BatchNorm2d(inplanes, momentum=0.1),
+                           tnn.ReLU(True)]
+            layers += [tnn.Conv2d(inplanes, outplanes, 3, padding=1,
+                                  bias=False),
+                       tnn.BatchNorm2d(outplanes, momentum=0.1),
+                       tnn.ReLU(True)]
+            return tnn.Sequential(*layers)
+
+        J = 7
+        ncs = (2, 1, 1)
+
+        class TShuffleDUC(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.preact = ShuffleResnet("resnet50")
+                self.duc1 = duc_stage(ncs[0], 2048, 1024)
+                self.duc2 = duc_stage(ncs[1], 1024, 512)
+                self.duc3 = duc_stage(ncs[2], 512, 256)
+                self.conv_out = tnn.Conv2d(256, J, 3, 1, 1)
+
+            def forward(self, x):
+                return self.conv_out(
+                    self.duc3(self.duc2(self.duc1(self.preact(x)))))
+
+        torch.manual_seed(0)
+        tm = TShuffleDUC()
+        g = torch.Generator().manual_seed(1)
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+        tm.eval()
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)
+                      ).permute(0, 2, 3, 1).numpy()
+
+        from mvsmplfitting_tpu.detect.convert import \
+            convert_fastpose_duc_sd
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_fastpose_duc_sd(sd, ncs, se=True))
+        got = np.asarray(FastPoseDUC(
+            num_joints=J, num_convs=ncs, shuffle=True).apply(
+            variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

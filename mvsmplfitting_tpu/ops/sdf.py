@@ -499,8 +499,15 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
         ny = jnp.max(jnp.where(
             can_y, jnp.arange(n_chunks, dtype=jnp.int32) + 1, 0),
             axis=1).reshape(T, 1)                           # (T, 1)
+        # Cull tables are (slice/tile, chunk, 1)-shaped with block
+        # (1, nc, 1): Mosaic requires a block's trailing two dims to
+        # be (8, 128)-divisible or EQUAL to the array's (VMEM and
+        # SMEM alike), and rejects dynamic indices on the lane (last)
+        # dim — so the grid slices the leading dim and the dynamic
+        # chunk counter indexes SUBLANES (the same proven pattern as
+        # `flag_ref[i, 0]` / the (1, 1, L) out blocks).
         zmask = (cz0[None, :] <= z_line[:, None] + MARGIN
-                 ).astype(jnp.int32)                        # (G, nc)
+                 ).astype(jnp.int32)[..., None]             # (G, nc, 1)
 
         # Phase B: per-tile (k, t) chunk lower bounds + visit order.
         ygap = jnp.maximum(jnp.maximum(cy0[None, :] - ty1[:, None],
@@ -513,6 +520,16 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                + zgap[:, None, :] ** 2).reshape(G * T, n_chunks)
         chunk_order = jnp.argsort(lb2, axis=1).astype(jnp.int32)
         lb2_sorted = jnp.take_along_axis(lb2, chunk_order, axis=1)
+        # (G*T, nc+1, 1) with a +inf/0 guard column so the
+        # while_loop's final cond read at c == n_chunks stays in
+        # bounds (see the zmask layout note above).
+        chunk_order = jnp.concatenate(
+            [chunk_order,
+             jnp.zeros((G * T, 1), jnp.int32)], axis=1)[..., None]
+        lb2_sorted = jnp.concatenate(
+            [lb2_sorted,
+             jnp.full((G * T, 1), jnp.inf, lb2.dtype)],
+            axis=1)[..., None]
 
     def cross_kernel(*refs):
         if cull:
@@ -524,7 +541,7 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
 
         if cull:
             def body(c, run):
-                @pl.when(zmask_ref[k, c] > 0)
+                @pl.when(zmask_ref[0, c, 0] > 0)
                 def _compute():
                     run_ref[0] = (run_ref[0]
                                   + _chunk_crossings(tri_ref[c],
@@ -551,7 +568,7 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
         cross_in_specs = [
             pl.BlockSpec((T, 1), lambda k, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, n_chunks), lambda k, t: (0, 0),
+            pl.BlockSpec((1, n_chunks, 1), lambda k, t: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + cross_in_specs
         cross_args = [ny, zmask] + cross_args
@@ -593,7 +610,6 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                     jnp.full((1, L), 1e6, jnp.float32))
                 return
 
-            tile = k * T + t_id
             ins = inside_ref[0] > 0                    # (1, L)
 
             def cond(carry):
@@ -601,13 +617,15 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                 # Chunks are LB-sorted per tile: once the next bound
                 # exceeds the worst inside-lane minimum (with fp
                 # slack), no later chunk can improve any inside lane.
+                # (The tables are chunk-major; this tile's column is
+                # block-sliced, and row n_chunks is the +inf guard.)
                 return (c < n_chunks) & (
-                    (lb_ref[tile, c] < worst * (1.0 + 1e-4) + 1e-9)
+                    (lb_ref[0, c, 0] < worst * (1.0 + 1e-4) + 1e-9)
                     | _visit_all)
 
             def body(carry):
                 c, m, _ = carry
-                d2 = _chunk_min_dist_sq(tri_ref[order_ref[tile, c]],
+                d2 = _chunk_min_dist_sq(tri_ref[order_ref[0, c, 0]],
                                         px, py, pz)
                 m = jnp.minimum(m, d2)
                 worst = jnp.max(jnp.where(ins, m, 0.0))
@@ -629,9 +647,11 @@ def sdf_grid_pallas_fast(verts: jnp.ndarray, faces: jnp.ndarray,
     dist_args = [flags]
     if cull:
         dist_in_specs += [
-            pl.BlockSpec((G * T, n_chunks), lambda k, t: (0, 0),
+            pl.BlockSpec((1, n_chunks + 1, 1),
+                         lambda k, t: (k * T + t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * T, n_chunks), lambda k, t: (0, 0),
+            pl.BlockSpec((1, n_chunks + 1, 1),
+                         lambda k, t: (k * T + t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L), lambda k, t: (k * T + t, 0, 0),
                          memory_space=pltpu.VMEM),

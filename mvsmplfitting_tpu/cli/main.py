@@ -102,7 +102,7 @@ def run_multi_person(cfg, sess, result_root, mesh_root,
     fit_jit = jax.jit(lambda obs, h: fit_people(
         sess.fit_config, sess.assets, sess.cameras, obs,
         vposer_w=sess.vposer, gmm=sess.gmm, img_height=h,
-        est_scale=not cfg.fix_scale))
+        est_scale=not cfg.fix_scale, sdf_engine=cfg.sdf_engine))
 
     n_frames = 0
     for frame in sess.dataset:

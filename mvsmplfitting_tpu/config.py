@@ -73,6 +73,12 @@ class Config:
     coll_grid_size: int = 128
     # None -> auto: Pallas voxelizer on TPU, jnp oracle elsewhere.
     use_pallas_sdf: Optional[bool] = None
+    # Multi-person joint-refinement field: "points" evaluates the
+    # exact (gridless) field at the query vertices — reference
+    # semantics in the G -> infinity limit at a fraction of the cost;
+    # "grid" is the strict-parity voxelize+trilinear form
+    # (`fitting/multi_person.py:fit_people`).
+    sdf_engine: str = "points"
     # Multi-person: fit up to this many detected people per frame
     # (vmapped solo fits + joint SDF refinement when interpenetration
     # is on — `fitting/multi_person.py`; the reference's own path

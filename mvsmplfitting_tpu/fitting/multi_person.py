@@ -38,6 +38,7 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                lagged_sdf="hybrid",
                refine_iters: int = 12,
                polish_iters: int = 5,
+               sdf_engine: str = "points",
                ) -> Tuple[FitResult, jnp.ndarray]:
     """Fit P people in one frame.
 
@@ -57,11 +58,21 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
           iterations to land at the reference-quality minimum —
           reference-equal energy at near-lagged cost (the round-3
           quality/speed fix).
-      refine_iters / polish_iters: hybrid-schedule budgets.
+      refine_iters / polish_iters: hybrid-schedule budgets (grid
+        engine only).
+      sdf_engine: "points" (default) evaluates the exact field
+        directly at the query vertices (`ops/sdf.py:sdf_at_points` —
+        the G -> infinity limit of the reference's grid, no voxelizer
+        in the loop, every-evaluation semantics at ~lagged cost;
+        `lagged_sdf` is moot and ignored).  "grid" keeps the
+        reference's voxelize-then-trilinear-sample form at
+        `spec.coll_grid_size` with the `lagged_sdf` schedule —
+        the strict-parity mode.
 
     Returns:
-      (batched FitResult over people, collision sums (P,) after fitting
-      — zeros when refinement disabled).
+      (batched FitResult over people, collision sums (P,) after
+      fitting under the chosen engine's field — zeros when refinement
+      disabled).
     """
     spec = cfg.spec
     if refine_collision is None:
@@ -130,7 +141,7 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
         coll_rows = weights.coll * s / P
         return jnp.concatenate([rows, coll_rows])
 
-    from ..ops.sdf import collision_sums
+    from ..ops.sdf import collision_sums, collision_sums_points
 
     def joint_residual_exact(flat):
         xs = flat.reshape(P, n)
@@ -142,6 +153,15 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                            spec.coll_grid_size, spec.use_pallas_sdf)
         return jnp.concatenate([rows, weights.coll * s / P])
 
+    def joint_residual_points(flat):
+        xs = flat.reshape(P, n)
+        rows = jax.vmap(
+            lambda x, o: E.residuals(solo_spec, assets, cam, o,
+                                     weights, vposer_w, gmm, x))(
+            xs, obs_people).reshape(-1)
+        s = collision_sums_points(all_verts(xs), assets.faces)
+        return jnp.concatenate([rows, weights.coll * s / P])
+
     mask = jnp.tile(E.free_mask(solo_spec), P)
     # speculative=False always: the stiff collision refinement degrades
     # badly under speculative step judging (measured joint energy 3.2e8
@@ -151,7 +171,10 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
     mode = (lagged_sdf if isinstance(lagged_sdf, str)
             else ("lagged" if lagged_sdf else "exact"))
     flat = xs0.reshape(-1)
-    if mode == "lagged":
+    if sdf_engine == "points":
+        flat, loss = lm_fit(joint_residual_points, flat, mask,
+                            base_lm.replace(max_iters=15))
+    elif mode == "lagged":
         flat, loss = lm_fit(joint_residual, flat, mask,
                             base_lm.replace(max_iters=15),
                             aux_fn=grids_of)
@@ -176,8 +199,11 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
 
     params, z, body_pose = jax.vmap(unpack_person)(xs)
 
-    final_sums = collision_sums(all_verts(xs), assets.faces,
-                                spec.coll_grid_size, spec.use_pallas_sdf)
+    final_sums = (collision_sums_points(all_verts(xs), assets.faces)
+                  if sdf_engine == "points"
+                  else collision_sums(all_verts(xs), assets.faces,
+                                      spec.coll_grid_size,
+                                      spec.use_pallas_sdf))
 
     per_loss = jax.vmap(
         lambda x, o: jnp.sum(E.residuals(solo_spec, assets, cam, o,

@@ -41,9 +41,10 @@ import jax.numpy as jnp
 # Geometry primitives (branchless, vectorized).
 # ---------------------------------------------------------------------------
 
-def point_triangle_dist_sq(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
-                           c: jnp.ndarray) -> jnp.ndarray:
-    """Squared distance from points to triangles, fully broadcast.
+def point_triangle_closest(p: jnp.ndarray, a: jnp.ndarray,
+                           b: jnp.ndarray, c: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest point on triangles + squared distance, fully broadcast.
 
     p: (..., 3); a, b, c: (..., 3) (broadcast-compatible).  Branchless
     Ericson-style closest-point classification via where-cascades.
@@ -109,7 +110,14 @@ def point_triangle_dist_sq(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
 
     closest = a + v[..., None] * ab + w[..., None] * ac
     diff = p - closest
-    return jnp.sum(diff * diff, -1)
+    return closest, jnp.sum(diff * diff, -1)
+
+
+def point_triangle_dist_sq(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                           c: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance from points to triangles (see
+    `point_triangle_closest`)."""
+    return point_triangle_closest(p, a, b, c)[1]
 
 
 def ray_crossings_dir(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
@@ -191,6 +199,95 @@ def sdf_grid(verts: jnp.ndarray, faces: jnp.ndarray, grid_size: int = 32,
     # sqrt(1e6) == 1000 == the reference's min_distance init value.
     phi = jnp.where(n_cross % 2 == 1, jnp.sqrt(min_d2), 0.0)
     return phi.reshape(G, G, G)
+
+
+# ---------------------------------------------------------------------------
+# Gridless point evaluation (the G -> infinity limit of the field).
+# ---------------------------------------------------------------------------
+
+def _sdf_at_points_impl(points, verts, faces, face_chunk=512):
+    """phi + closest surface point + inside flag at query points.
+
+    Same field as `sdf_grid` (`sdf_cuda_kernel.cu:242-304` semantics:
+    unsigned distance inside, 0 outside, parity ray toward the corner
+    (-1,-1,-1)) evaluated EXACTLY at arbitrary points instead of voxel
+    centers — no grid, no trilinear approximation.  points: (N, 3);
+    verts: (V, 3) in the same normalized frame as `sdf_grid` input;
+    faces: (F, 3).  Returns (phi (N,), closest (N, 3), inside (N,)).
+    """
+    tri = verts[faces]                                 # (F, 3, 3)
+    F = tri.shape[0]
+    pad = (-F) % face_chunk
+    if pad:
+        far = jnp.full((pad, 3, 3), 1e6, tri.dtype)
+        tri = jnp.concatenate([tri, far], axis=0)
+    chunks = tri.reshape(-1, face_chunk, 3, 3)
+    corner = jnp.asarray([-1.0, -1.0, -1.0], verts.dtype)
+
+    def body(carry, chunk):
+        min_d2, closest, n_cross = carry
+        a = chunk[:, 0][None]                          # (1, C, 3)
+        b = chunk[:, 1][None]
+        c = chunk[:, 2][None]
+        p = points[:, None]                            # (N, 1, 3)
+        d2 = point_triangle_dist_sq(p, a, b, c)        # (N, C)
+        hits = ray_crossings(p, a, b, c, corner[None, None])
+        # Running min matches sdf_grid's bitwise; the closest point is
+        # recomputed on just the per-chunk argmin face (cheap (N,)
+        # work instead of materializing an (N, C, 3) closest array).
+        j = jnp.argmin(d2, axis=1)                     # (N,)
+        best = chunk[j]                                # (N, 3, 3)
+        cl, _ = point_triangle_closest(points, best[:, 0], best[:, 1],
+                                       best[:, 2])
+        chunk_min = jnp.min(d2, axis=1)
+        upd = chunk_min < min_d2
+        return (jnp.where(upd, chunk_min, min_d2),
+                jnp.where(upd[:, None], cl, closest),
+                n_cross + jnp.sum(hits, axis=1)), None
+
+    N = points.shape[0]
+    init = (jnp.full((N,), 1e6, verts.dtype),
+            jnp.zeros((N, 3), verts.dtype),
+            jnp.zeros((N,), jnp.int32))
+    (min_d2, closest, n_cross), _ = jax.lax.scan(body, init, chunks)
+    inside = n_cross % 2 == 1
+    phi = jnp.where(inside, jnp.sqrt(min_d2), 0.0)
+    return phi, closest, inside
+
+
+@jax.custom_jvp
+def sdf_at_points(points: jnp.ndarray, verts: jnp.ndarray,
+                  faces: jnp.ndarray) -> jnp.ndarray:
+    """Exact phi at query points — the gridless limit of `sdf_grid`.
+
+    Differentiation contract (mirrors the reference's detached-phi
+    `grid_sample` backward, `sdf/sdf/sdf.py:17-19` +
+    `code/utils/fitting.py:379-388`): the FIELD is a constant — the
+    tangent in `verts` is deliberately ignored — and the tangent in
+    `points` is the analytic spatial gradient, (p - closest)/|p -
+    closest| inside and 0 outside, which is what the trilinear
+    gradient of the detached grid converges to as G -> infinity.
+    The custom JVP makes each Jacobian column a dot product instead
+    of a replay of the face scan.
+    """
+    return _sdf_at_points_impl(points, verts, faces)[0]
+
+
+@sdf_at_points.defjvp
+def _sdf_at_points_jvp(primals, tangents):
+    points, verts, faces = primals
+    pt = tangents[0]
+    phi, closest, inside = _sdf_at_points_impl(points, verts, faces)
+    # Points ON the surface (a person's own vertices in their own
+    # field) have p ~= closest with phi ~= 0: the quotient would
+    # amplify fp noise into enormous garbage gradients, so gate on a
+    # meaningfully-positive depth (their phi contribution is ~0
+    # anyway).  The unit direction is exact elsewhere.
+    live = inside & (phi > 1e-5)
+    g = jnp.where(live[:, None],
+                  (points - closest) / jnp.maximum(phi, 1e-5)[:, None],
+                  0.0)
+    return phi, jnp.sum(g * pt, axis=-1)
 
 
 def _lane_tile(N: int, max_lanes: int = 4096) -> int:
@@ -866,6 +963,41 @@ def collision_sums(verts: jnp.ndarray, faces: jnp.ndarray,
     centers_live = 0.5 * (boxes_min + boxes_max)
     scales_live = 1.2 * 0.5 * jnp.max(boxes_max - boxes_min, axis=-1)
     return collision_sums_sampled(phi, centers_live, scales_live, verts)
+
+
+def collision_sums_points(verts: jnp.ndarray, faces: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """`collision_sums` in the G -> infinity limit: exact phi (no
+    voxel grid) evaluated directly at every person's vertices via
+    `sdf_at_points`.
+
+    Same semantics as the grid path (`code/utils/fitting.py:352-394`):
+    per-person 1.2x-padded box-normalized frame, every person's
+    vertices (self included) sampled in every person's field, field
+    geometry gradient-detached, query coordinates (incl. the live box
+    frame) carrying the gradient.  ~150x less work than voxelizing a
+    128^3 grid per evaluation — this is what makes exact-semantics
+    joint refinement affordable on chip (`docs/BENCH_NOTES.md` r3).
+    Returns (P,).
+    """
+    if verts.ndim == 2:
+        verts = verts[None]
+    P, V, _ = verts.shape
+    field_verts = jax.lax.stop_gradient(verts)
+    det_min = field_verts.min(axis=1)
+    det_max = field_verts.max(axis=1)
+    centers_det = 0.5 * (det_min + det_max)
+    scales_det = 1.2 * 0.5 * jnp.max(det_max - det_min, axis=-1)
+    boxes_min = verts.min(axis=1)
+    boxes_max = verts.max(axis=1)
+    centers_live = 0.5 * (boxes_min + boxes_max)
+    scales_live = 1.2 * 0.5 * jnp.max(boxes_max - boxes_min, axis=-1)
+    sums = []
+    for i in range(P):
+        mesh_i = (field_verts[i] - centers_det[i]) / scales_det[i]
+        q = ((verts - centers_live[i]) / scales_live[i]).reshape(-1, 3)
+        sums.append(jnp.sum(sdf_at_points(q, mesh_i, faces)))
+    return jnp.stack(sums)
 
 
 def collision_energy(verts: jnp.ndarray, faces: jnp.ndarray,

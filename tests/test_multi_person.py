@@ -76,7 +76,8 @@ class TestMultiPerson:
                         shape_weights=(100.0, 10.0),
                         coll_weights=(0.0, 1000.0))
         results, sums = fit_people(cfg, assets, cam, obs_people,
-                                   vposer_w=vw, img_height=1080.0)
+                                   vposer_w=vw, img_height=1080.0,
+                                   sdf_engine="grid")
         assert sums.shape == (2,)
         assert np.isfinite(np.asarray(sums)).all()
         assert np.isfinite(np.asarray(results.loss)).all()
@@ -104,8 +105,56 @@ class TestMultiPerson:
         for mode in ("exact", "hybrid"):
             r, s = fit_people(cfg, assets, cam, obs_people,
                               vposer_w=vw, img_height=1080.0,
-                              lagged_sdf=mode)
+                              lagged_sdf=mode, sdf_engine="grid")
             e[mode] = joint_energy(r, s)
         assert np.isfinite(e["exact"]) and np.isfinite(e["hybrid"])
         # Same-or-better minimum within LM trajectory noise.
         assert e["hybrid"] <= 1.10 * e["exact"], e
+
+    def test_points_engine_resolves_penetration(self, setup):
+        """The round-3 production engine (`sdf_engine="points"`, the
+        default): the TRUE (gridless) penetration must be driven to
+        ~zero without degrading the data fit.
+
+        The grid energy at a coarse test grid is NOT a valid ruler
+        here: trilinear self-sampling of each person's own surface
+        dominates the grid sums (measured [58, 72] "penetration" at
+        G=16 vs the true field's [0.35, 0] on this fixture), so
+        grid-judged comparisons reward suppressing a discretization
+        artifact.  At the reference's production G=128 the artifact is
+        small and the two fields agree."""
+        from mvsmplfitting_tpu.ops.sdf import collision_sums_points
+
+        assets, vw, cam, obs_people = setup
+        spec = EnergySpec(interpenetration=True, coll_grid_size=16)
+        cfg = FitConfig(spec=spec, lm=LMOptions(max_iters=8),
+                        pose_weights=(404.0, 57.4),
+                        shape_weights=(100.0, 10.0),
+                        coll_weights=(0.0, 1000.0))
+
+        def people_verts(r):
+            def pv(params, z):
+                bp = vposer_lib.decode(vw, z)
+                v, _ = smpl_forward(assets, params, bp)
+                return v
+            return jax.vmap(pv)(r.params, r.z)
+
+        r_solo, _ = fit_people(cfg, assets, cam, obs_people,
+                               vposer_w=vw, img_height=1080.0,
+                               refine_collision=False)
+        s0 = np.asarray(collision_sums_points(people_verts(r_solo),
+                                              assets.faces))
+        assert s0.sum() > 0.1          # fixture really interpenetrates
+
+        r_pts, s_pts = fit_people(cfg, assets, cam, obs_people,
+                                  vposer_w=vw, img_height=1080.0)
+        s_pts = np.asarray(s_pts)
+        assert np.isfinite(s_pts).all()
+        # True penetration resolved (>=95% of the initial overlap).
+        assert s_pts.sum() <= 0.05 * s0.sum() + 1e-6, (s0, s_pts)
+        # Data terms stay honest: same final-stage weighting in both
+        # results, so a bounded ratio means the bodies were pushed
+        # apart, not distorted away from their detections.
+        assert (np.asarray(r_pts.loss)
+                <= 2.0 * np.asarray(r_solo.loss) + 1e3).all(), (
+            r_solo.loss, r_pts.loss)

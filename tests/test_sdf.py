@@ -345,3 +345,100 @@ class TestCulledTwoPhase:
         phi = self._check(v.astype(np.float32),
                           np.asarray(assets.faces), 16, face_chunk=64)
         assert (phi > 0).any()
+
+
+class TestSdfAtPoints:
+    """Gridless exact field (`sdf_at_points`) — the round-3 production
+    collision engine."""
+
+    def test_matches_sdf_grid_at_voxel_centers(self):
+        from mvsmplfitting_tpu.ops.sdf import sdf_at_points
+        verts, faces = icosphere(radius=0.55, n=10)
+        G = 12
+        phi_grid = np.asarray(sdf_grid(jnp.asarray(verts),
+                                       jnp.asarray(faces), G)).ravel()
+        pts = voxel_centers(G)
+        phi_pts = np.asarray(sdf_at_points(pts, jnp.asarray(verts),
+                                           jnp.asarray(faces)))
+        # Same math on the same points (both scan face chunks with the
+        # identical primitives): bitwise.
+        np.testing.assert_array_equal(phi_pts, phi_grid)
+
+    def test_sphere_field_values(self):
+        from mvsmplfitting_tpu.ops.sdf import sdf_at_points
+        verts, faces = icosphere(radius=0.6, n=16)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-0.9, 0.9, (500, 3)).astype(np.float32)
+        r = np.linalg.norm(pts, axis=-1)
+        phi = np.asarray(sdf_at_points(jnp.asarray(pts),
+                                       jnp.asarray(verts),
+                                       jnp.asarray(faces)))
+        assert (phi[r > 0.65] == 0).all()
+        inside = r < 0.55
+        np.testing.assert_allclose(phi[inside], 0.6 - r[inside],
+                                   atol=0.03)
+
+    def test_jvp_is_spatial_gradient(self):
+        """Inside a sphere, d phi / d p = -p/|p| (distance to the
+        surface shrinks moving outward); outside, 0.  Also check the
+        custom JVP against finite differences of the primal."""
+        from mvsmplfitting_tpu.ops.sdf import sdf_at_points
+        verts, faces = icosphere(radius=0.6, n=24)
+        pts = np.array([[0.3, 0.1, -0.2],       # inside
+                        [0.0, 0.45, 0.0],       # inside
+                        [0.8, 0.0, 0.5]],       # outside
+                       np.float32)
+        vj, fj = jnp.asarray(verts), jnp.asarray(faces)
+
+        def f(p):
+            return sdf_at_points(p, vj, fj)
+
+        g = jax.jacfwd(f)(jnp.asarray(pts))      # (N, N, 3)
+        g = np.asarray(g)[np.arange(3), np.arange(3)]
+        r = np.linalg.norm(pts[:2], axis=-1, keepdims=True)
+        # The faceted surface's true gradient is the facet normal, not
+        # the analytic sphere's radial direction — loose tolerance.
+        np.testing.assert_allclose(g[:2], -pts[:2] / r, atol=0.1)
+        np.testing.assert_array_equal(g[2], 0.0)
+
+        eps = 1e-3
+        for i in range(2):
+            for d in range(3):
+                e = np.zeros((3, 3), np.float32)
+                e[i, d] = eps
+                fd = (np.asarray(f(jnp.asarray(pts + e)))[i]
+                      - np.asarray(f(jnp.asarray(pts - e)))[i]) / (2 * eps)
+                # The field is only piecewise smooth: a central
+                # difference straddling a facet-Voronoi boundary
+                # averages two facet normals while the JVP is exact
+                # for the argmin facet — tolerance covers that kink.
+                np.testing.assert_allclose(g[i, d], fd, atol=2e-2)
+
+    def test_field_is_detached_from_mesh(self):
+        """The verts tangent must be ignored (the reference's
+        detached-phi contract, `sdf/sdf/sdf.py:17-19`)."""
+        from mvsmplfitting_tpu.ops.sdf import sdf_at_points
+        verts, faces = icosphere(radius=0.6, n=12)
+        pts = jnp.asarray([[0.2, 0.0, 0.1]], jnp.float32)
+        vj, fj = jnp.asarray(verts), jnp.asarray(faces)
+        g = jax.grad(lambda v: jnp.sum(sdf_at_points(pts, v, fj)))(vj)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_collision_sums_points_converges_to_grid(self):
+        """collision_sums_points == the G -> infinity limit of
+        collision_sums: the grid value at G=48 must be closer to the
+        points value than the G=12 one."""
+        from mvsmplfitting_tpu.ops.sdf import (collision_sums,
+                                               collision_sums_points)
+        v1, faces = icosphere(radius=0.5, n=12)
+        v2 = v1 + np.array([0.45, 0.0, 0.0], np.float32)
+        verts = jnp.asarray(np.stack([v1, v2]))
+        fj = jnp.asarray(faces)
+        s_pts = np.asarray(collision_sums_points(verts, fj))
+        s12 = np.asarray(collision_sums(verts, fj, 12))
+        s48 = np.asarray(collision_sums(verts, fj, 48))
+        assert (s_pts > 0).all()      # overlapping spheres penetrate
+        err12 = np.abs(s12 - s_pts).sum()
+        err48 = np.abs(s48 - s_pts).sum()
+        assert err48 < err12, (s12, s48, s_pts)
+        np.testing.assert_allclose(s48, s_pts, rtol=0.15)

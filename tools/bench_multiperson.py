@@ -2,7 +2,8 @@
 
 Run on the real TPU (serialized — one TPU process at a time):
     timeout 1700 python tools/bench_multiperson.py [grid [mode]]
-mode: 1/lagged, 0/exact, hybrid (default 1).
+mode: points (default — the gridless exact engine), or a grid-engine
+schedule: 1/lagged, 0/exact, hybrid.  grid only affects grid modes.
 
 The synthetic two-person-overlap problem from the r2 measurements
 (`docs/BENCH_NOTES.md` multi-person rows): P=2 people 0.5 m apart,
@@ -57,7 +58,8 @@ def make_cameras(num_views=6, radius=4.0):
 
 def main():
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    raw = sys.argv[2] if len(sys.argv) > 2 else "1"
+    raw = sys.argv[2] if len(sys.argv) > 2 else "points"
+    engine = "points" if raw == "points" else "grid"
     lagged = ({"1": True, "lagged": True, "0": False, "exact": False}
               .get(raw, raw))
     rng = np.random.default_rng(7)
@@ -92,11 +94,20 @@ def main():
                       use_pallas_sdf=jax.default_backend() != "cpu")
     cfg = FitConfig(spec=spec)    # full default 4-stage schedule
 
-    def run():
-        results, sums = fit_people(cfg, assets, cam, obs_people,
+    import functools
+
+    # jit the WHOLE fit: un-jitted fit_people dispatches hundreds of
+    # eager ops through the tunnel (the r3 chip sessions measured that
+    # overhead at tens of seconds/frame — docs/BENCH_NOTES.md).
+    @functools.partial(jax.jit, static_argnames=())
+    def _run(obs):
+        results, sums = fit_people(cfg, assets, cam, obs,
                                    vposer_w=vw, img_height=1080.0,
-                                   lagged_sdf=lagged)
+                                   lagged_sdf=lagged, sdf_engine=engine)
         return results.loss, sums
+
+    def run():
+        return _run(obs_people)
 
     def joint_energy(loss, sums):
         # Per-person data+prior energies plus the collision rows under
@@ -105,7 +116,7 @@ def main():
         w_coll = cfg.coll_weights[-1]
         return float(loss.sum() + ((w_coll * sums / 2.0) ** 2).sum())
 
-    print(f"grid={grid} lagged={lagged} "
+    print(f"grid={grid} engine={engine} lagged={lagged} "
           f"device={jax.devices()[0]}", flush=True)
     t0 = time.perf_counter()
     loss, sums = jax.tree.map(np.asarray, run())

@@ -205,33 +205,41 @@ def sdf_grid(verts: jnp.ndarray, faces: jnp.ndarray, grid_size: int = 32,
 # Gridless point evaluation (the G -> infinity limit of the field).
 # ---------------------------------------------------------------------------
 
-def _sdf_at_points_impl(points, verts, faces, face_chunk=512):
-    """phi + closest surface point + inside flag at query points.
-
-    Same field as `sdf_grid` (`sdf_cuda_kernel.cu:242-304` semantics:
-    unsigned distance inside, 0 outside, parity ray toward the corner
-    (-1,-1,-1)) evaluated EXACTLY at arbitrary points instead of voxel
-    centers — no grid, no trilinear approximation.  points: (N, 3);
-    verts: (V, 3) in the same normalized frame as `sdf_grid` input;
-    faces: (F, 3).  Returns (phi (N,), closest (N, 3), inside (N,)).
-    """
+def _face_chunks(verts, faces, face_chunk):
+    """(F, 3) faces -> (F/C, C, 3, 3) padded triangle chunks."""
     tri = verts[faces]                                 # (F, 3, 3)
     F = tri.shape[0]
     pad = (-F) % face_chunk
     if pad:
         far = jnp.full((pad, 3, 3), 1e6, tri.dtype)
         tri = jnp.concatenate([tri, far], axis=0)
-    chunks = tri.reshape(-1, face_chunk, 3, 3)
-    corner = jnp.asarray([-1.0, -1.0, -1.0], verts.dtype)
+    return tri.reshape(-1, face_chunk, 3, 3)
 
+
+def _parity_scan(points, chunks, corner):
+    """Crossing counts of the ray points -> corner over all faces."""
+    def body(n_cross, chunk):
+        a = chunk[:, 0][None]                          # (1, C, 3)
+        b = chunk[:, 1][None]
+        c = chunk[:, 2][None]
+        p = points[:, None]                            # (N, 1, 3)
+        hits = ray_crossings(p, a, b, c, corner[None, None])
+        return n_cross + jnp.sum(hits, axis=1), None
+
+    init = jnp.zeros((points.shape[0],), jnp.int32)
+    n_cross, _ = jax.lax.scan(body, init, chunks)
+    return n_cross
+
+
+def _dist_closest_scan(points, chunks):
+    """Min squared distance to the mesh + the closest surface point."""
     def body(carry, chunk):
-        min_d2, closest, n_cross = carry
+        min_d2, closest = carry
         a = chunk[:, 0][None]                          # (1, C, 3)
         b = chunk[:, 1][None]
         c = chunk[:, 2][None]
         p = points[:, None]                            # (N, 1, 3)
         d2 = point_triangle_dist_sq(p, a, b, c)        # (N, C)
-        hits = ray_crossings(p, a, b, c, corner[None, None])
         # Running min matches sdf_grid's bitwise; the closest point is
         # recomputed on just the per-chunk argmin face (cheap (N,)
         # work instead of materializing an (N, C, 3) closest array).
@@ -242,16 +250,109 @@ def _sdf_at_points_impl(points, verts, faces, face_chunk=512):
         chunk_min = jnp.min(d2, axis=1)
         upd = chunk_min < min_d2
         return (jnp.where(upd, chunk_min, min_d2),
-                jnp.where(upd[:, None], cl, closest),
-                n_cross + jnp.sum(hits, axis=1)), None
+                jnp.where(upd[:, None], cl, closest)), None
 
     N = points.shape[0]
-    init = (jnp.full((N,), 1e6, verts.dtype),
-            jnp.zeros((N, 3), verts.dtype),
-            jnp.zeros((N,), jnp.int32))
-    (min_d2, closest, n_cross), _ = jax.lax.scan(body, init, chunks)
+    init = (jnp.full((N,), 1e6, points.dtype),
+            jnp.zeros((N, 3), points.dtype))
+    (min_d2, closest), _ = jax.lax.scan(body, init, chunks)
+    return min_d2, closest
+
+
+# Static work budgets for the culled evaluation.  Exactness does not
+# depend on them — a frame whose candidate / inside counts overflow a
+# budget falls back (lax.cond) to the full evaluation of that phase.
+_CAND_BUDGET = 8192
+_INSIDE_BUDGET = 2048
+
+
+def _sdf_at_points_impl(points, verts, faces, face_chunk=512,
+                        cand_budget=_CAND_BUDGET,
+                        inside_budget=_INSIDE_BUDGET):
+    """phi + closest surface point + inside flag at query points.
+
+    Same field as `sdf_grid` (`sdf_cuda_kernel.cu:242-304` semantics:
+    unsigned distance inside, 0 outside, parity ray toward the corner
+    (-1,-1,-1)) evaluated EXACTLY at arbitrary points instead of voxel
+    centers — no grid, no trilinear approximation.  points: (N, 3);
+    verts: (V, 3) in the same normalized frame as `sdf_grid` input;
+    faces: (F, 3).  Returns (phi (N,), closest (N, 3), inside (N,)).
+
+    Cost shape (the round-3 rework): the brute force is O(N*F) with
+    ~120 flop/pair.  Three exact reductions are applied in order:
+
+    1. AABB candidate cull — a point outside the mesh's axis-aligned
+       bounding box is outside the mesh, hence phi = 0 by convention,
+       with NO ray test needed.  Candidates are gathered to a static
+       `cand_budget` (top_k) so shapes stay fixed under jit.
+    2. Parity-only first pass (~40 flop/pair Moller-Trumbore) decides
+       inside/outside for the candidates; the expensive closest-point
+       classification (~80 flop/pair) is NOT run here.
+    3. Distance pass only for the points actually inside (gathered to
+       `inside_budget`) — outside points have phi = 0 and never need
+       a distance.
+
+    If a frame's candidate / inside count exceeds its budget, that
+    phase falls back to the full evaluation via `lax.cond`, so results
+    are exact for every input (and bitwise-equal to the uncull path
+    for each surviving point: identical per-point chunk arithmetic).
+    NOTE: do not vmap directly over this function — `lax.cond` under
+    vmap runs BOTH branches (jacfwd/linearize through the custom JVP
+    of `sdf_at_points` is fine: the primal runs unbatched there).
+    """
+    N = points.shape[0]
+    chunks = _face_chunks(verts, faces, face_chunk)
+    corner = jnp.asarray([-1.0, -1.0, -1.0], verts.dtype)
+
+    def finish(inside, min_d2, closest):
+        phi = jnp.where(inside, jnp.sqrt(min_d2), 0.0)
+        return phi, closest, inside
+
+    if N <= min(cand_budget, inside_budget):
+        # Small query sets: culling machinery costs more than it saves.
+        n_cross = _parity_scan(points, chunks, corner)
+        inside = n_cross % 2 == 1
+        min_d2, closest = _dist_closest_scan(points, chunks)
+        return finish(inside, min_d2, closest)
+
+    bmin = verts.min(axis=0) - 1e-6
+    bmax = verts.max(axis=0) + 1e-6
+    cand = jnp.all((points >= bmin) & (points <= bmax), axis=-1)
+
+    K1 = min(cand_budget, N)
+
+    def parity_culled(_):
+        _, idx = jax.lax.top_k(cand.astype(points.dtype), K1)
+        ncr = _parity_scan(points[idx], chunks, corner)
+        # Non-candidates are outside the AABB -> outside the mesh:
+        # leaving their count at 0 (even parity) is exact.
+        return jnp.zeros((N,), jnp.int32).at[idx].set(ncr)
+
+    def parity_full(_):
+        return _parity_scan(points, chunks, corner)
+
+    n_cross = jax.lax.cond(jnp.sum(cand) <= K1,
+                           parity_culled, parity_full, None)
     inside = n_cross % 2 == 1
-    phi = jnp.where(inside, jnp.sqrt(min_d2), 0.0)
+
+    K2 = min(inside_budget, N)
+
+    def dist_culled(_):
+        _, idx = jax.lax.top_k(inside.astype(points.dtype), K2)
+        d2, cl = _dist_closest_scan(points[idx], chunks)
+        phi = jnp.zeros((N,), points.dtype).at[idx].set(
+            jnp.where(inside[idx], jnp.sqrt(d2), 0.0))
+        # Outside points keep closest = 0; the JVP only reads closest
+        # where inside & phi > 1e-5.
+        closest = jnp.zeros((N, 3), points.dtype).at[idx].set(cl)
+        return phi, closest
+
+    def dist_full(_):
+        min_d2, cl = _dist_closest_scan(points, chunks)
+        return jnp.where(inside, jnp.sqrt(min_d2), 0.0), cl
+
+    phi, closest = jax.lax.cond(jnp.sum(inside) <= K2,
+                                dist_culled, dist_full, None)
     return phi, closest, inside
 
 
@@ -965,19 +1066,31 @@ def collision_sums(verts: jnp.ndarray, faces: jnp.ndarray,
     return collision_sums_sampled(phi, centers_live, scales_live, verts)
 
 
-def collision_sums_points(verts: jnp.ndarray, faces: jnp.ndarray
-                          ) -> jnp.ndarray:
+def collision_sums_points(verts: jnp.ndarray, faces: jnp.ndarray,
+                          include_self: bool = False) -> jnp.ndarray:
     """`collision_sums` in the G -> infinity limit: exact phi (no
     voxel grid) evaluated directly at every person's vertices via
     `sdf_at_points`.
 
     Same semantics as the grid path (`code/utils/fitting.py:352-394`):
-    per-person 1.2x-padded box-normalized frame, every person's
-    vertices (self included) sampled in every person's field, field
-    geometry gradient-detached, query coordinates (incl. the live box
-    frame) carrying the gradient.  ~150x less work than voxelizing a
-    128^3 grid per evaluation — this is what makes exact-semantics
-    joint refinement affordable on chip (`docs/BENCH_NOTES.md` r3).
+    per-person 1.2x-padded box-normalized frame, field geometry
+    gradient-detached, query coordinates (incl. the live box frame)
+    carrying the gradient.  ~150x less work than voxelizing a 128^3
+    grid per evaluation — this is what makes exact-semantics joint
+    refinement affordable on chip (`docs/BENCH_NOTES.md` r3).
+
+    Self queries: the reference samples every person's vertices in
+    every person's grid INCLUDING their own (the self-weight zeroing
+    is commented out, `fitting.py:374-375`), but a body's own vertices
+    lie ON its surface, where the exact field is identically 0 (phi is
+    continuous, 0 on and outside the boundary — this holds even for
+    self-intersecting poses, since an on-surface point has distance 0
+    to the nearest surface regardless of crossing parity).  The grid
+    form's large self-contribution is purely a trilinear
+    discretization artifact that vanishes as G -> infinity, so the
+    default skips the self queries: exact in the limit semantics and
+    ~P/(P-1)x cheaper.  `include_self=True` restores the literal
+    everyone-in-everyone query set (values differ only by fp dust).
     Returns (P,).
     """
     if verts.ndim == 2:
@@ -995,7 +1108,15 @@ def collision_sums_points(verts: jnp.ndarray, faces: jnp.ndarray
     sums = []
     for i in range(P):
         mesh_i = (field_verts[i] - centers_det[i]) / scales_det[i]
-        q = ((verts - centers_live[i]) / scales_live[i]).reshape(-1, 3)
+        if include_self:
+            others = verts.reshape(-1, 3)
+        elif P == 1:
+            sums.append(jnp.zeros((), verts.dtype))
+            continue
+        else:
+            others = jnp.concatenate(
+                [verts[j] for j in range(P) if j != i], axis=0)
+        q = (others - centers_live[i]) / scales_live[i]
         sums.append(jnp.sum(sdf_at_points(q, mesh_i, faces)))
     return jnp.stack(sums)
 

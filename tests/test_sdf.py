@@ -351,6 +351,37 @@ class TestSdfAtPoints:
     """Gridless exact field (`sdf_at_points`) — the round-3 production
     collision engine."""
 
+    def test_culled_path_bitwise_equals_full(self):
+        """The AABB-candidate + inside-budget culled evaluation must be
+        bitwise-equal to the brute-force path on every output the
+        consumers read (phi everywhere; closest on the inside set) —
+        including when a budget overflows and the `lax.cond` fallback
+        fires."""
+        from mvsmplfitting_tpu.ops.sdf import _sdf_at_points_impl
+        verts, faces = icosphere(radius=0.55, n=14)
+        vj, fj = jnp.asarray(verts), jnp.asarray(faces)
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(
+            rng.uniform(-0.95, 0.95, (5000, 3)).astype(np.float32))
+
+        full = _sdf_at_points_impl(pts, vj, fj,
+                                   cand_budget=10**9,
+                                   inside_budget=10**9)
+        inside = np.asarray(full[2])
+        n_in = int(inside.sum())
+        assert 0 < n_in < 1024          # fixture exercises the cull
+
+        for k1, k2 in ((4096, 1024),          # culled, within budget
+                       (max(n_in // 2, 1),) * 2):   # overflow fallback
+            got = _sdf_at_points_impl(pts, vj, fj,
+                                      cand_budget=k1, inside_budget=k2)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(full[0]))
+            np.testing.assert_array_equal(np.asarray(got[2]), inside)
+            np.testing.assert_array_equal(
+                np.asarray(got[1])[inside],
+                np.asarray(full[1])[inside])
+
     def test_matches_sdf_grid_at_voxel_centers(self):
         from mvsmplfitting_tpu.ops.sdf import sdf_at_points
         verts, faces = icosphere(radius=0.55, n=10)

@@ -259,16 +259,40 @@ def _dist_closest_scan(points, chunks):
     return min_d2, closest
 
 
-# Static work budgets for the culled evaluation.  Exactness does not
-# depend on them — a frame whose candidate / inside counts overflow a
-# budget falls back (lax.cond) to the full evaluation of that phase.
-_CAND_BUDGET = 8192
-_INSIDE_BUDGET = 2048
+# Static work-budget TIERS for the culled evaluation.  Exactness does
+# not depend on them — each phase picks the smallest tier that holds
+# its count via a lax.cond ladder, and falls back to the full
+# evaluation when every tier overflows.  Tiers exist because top_k
+# gathers always pay for the full budget: two overlapping SMPL bodies
+# typically have only O(100) of one body's vertices inside the other's
+# AABB, so a single generous budget would burn ~60x the needed work.
+_CAND_BUDGETS = (1024, 8192)
+_INSIDE_BUDGETS = (256, 2048)
+
+
+def _tiers(budgets, N):
+    """Ascending tier sizes strictly below N (int or tuple input)."""
+    if isinstance(budgets, int):
+        budgets = (budgets,)
+    return sorted({int(k) for k in budgets if k < N})
+
+
+def _tiered_eval(count, tiers, branch_for, full_branch):
+    """Nested lax.cond ladder: run the smallest tier with count <= K,
+    else the full evaluation."""
+    def build(i):
+        if i == len(tiers):
+            return full_branch
+        K = tiers[i]
+        nxt = build(i + 1)
+        return lambda _: jax.lax.cond(count <= K, branch_for(K),
+                                      nxt, None)
+    return build(0)(None)
 
 
 def _sdf_at_points_impl(points, verts, faces, face_chunk=512,
-                        cand_budget=_CAND_BUDGET,
-                        inside_budget=_INSIDE_BUDGET):
+                        cand_budget=_CAND_BUDGETS,
+                        inside_budget=_INSIDE_BUDGETS):
     """phi + closest surface point + inside flag at query points.
 
     Same field as `sdf_grid` (`sdf_cuda_kernel.cu:242-304` semantics:
@@ -283,76 +307,76 @@ def _sdf_at_points_impl(points, verts, faces, face_chunk=512,
 
     1. AABB candidate cull — a point outside the mesh's axis-aligned
        bounding box is outside the mesh, hence phi = 0 by convention,
-       with NO ray test needed.  Candidates are gathered to a static
-       `cand_budget` (top_k) so shapes stay fixed under jit.
+       with NO ray test needed.  Candidates are gathered (top_k) to
+       the smallest `cand_budget` tier that holds them, so shapes stay
+       fixed under jit while the work tracks the actual overlap size.
     2. Parity-only first pass (~40 flop/pair Moller-Trumbore) decides
        inside/outside for the candidates; the expensive closest-point
        classification (~80 flop/pair) is NOT run here.
     3. Distance pass only for the points actually inside (gathered to
-       `inside_budget`) — outside points have phi = 0 and never need
-       a distance.
+       an `inside_budget` tier) — outside points have phi = 0 and
+       never need a distance.
 
-    If a frame's candidate / inside count exceeds its budget, that
+    If a frame's candidate / inside count exceeds every tier, that
     phase falls back to the full evaluation via `lax.cond`, so results
     are exact for every input (and bitwise-equal to the uncull path
     for each surviving point: identical per-point chunk arithmetic).
     NOTE: do not vmap directly over this function — `lax.cond` under
-    vmap runs BOTH branches (jacfwd/linearize through the custom JVP
+    vmap runs ALL branches (jacfwd/linearize through the custom JVP
     of `sdf_at_points` is fine: the primal runs unbatched there).
     """
     N = points.shape[0]
     chunks = _face_chunks(verts, faces, face_chunk)
     corner = jnp.asarray([-1.0, -1.0, -1.0], verts.dtype)
 
-    def finish(inside, min_d2, closest):
-        phi = jnp.where(inside, jnp.sqrt(min_d2), 0.0)
-        return phi, closest, inside
-
-    if N <= min(cand_budget, inside_budget):
-        # Small query sets: culling machinery costs more than it saves.
-        n_cross = _parity_scan(points, chunks, corner)
-        inside = n_cross % 2 == 1
-        min_d2, closest = _dist_closest_scan(points, chunks)
-        return finish(inside, min_d2, closest)
-
-    bmin = verts.min(axis=0) - 1e-6
-    bmax = verts.max(axis=0) + 1e-6
-    cand = jnp.all((points >= bmin) & (points <= bmax), axis=-1)
-
-    K1 = min(cand_budget, N)
-
-    def parity_culled(_):
-        _, idx = jax.lax.top_k(cand.astype(points.dtype), K1)
-        ncr = _parity_scan(points[idx], chunks, corner)
-        # Non-candidates are outside the AABB -> outside the mesh:
-        # leaving their count at 0 (even parity) is exact.
-        return jnp.zeros((N,), jnp.int32).at[idx].set(ncr)
+    cand_tiers = _tiers(cand_budget, N)
+    inside_tiers = _tiers(inside_budget, N)
 
     def parity_full(_):
         return _parity_scan(points, chunks, corner)
 
-    n_cross = jax.lax.cond(jnp.sum(cand) <= K1,
-                           parity_culled, parity_full, None)
+    if cand_tiers:
+        bmin = verts.min(axis=0) - 1e-6
+        bmax = verts.max(axis=0) + 1e-6
+        cand = jnp.all((points >= bmin) & (points <= bmax), axis=-1)
+
+        def parity_at(K):
+            def f(_):
+                _, idx = jax.lax.top_k(cand.astype(points.dtype), K)
+                ncr = _parity_scan(points[idx], chunks, corner)
+                # Non-candidates are outside the AABB -> outside the
+                # mesh: leaving their count at 0 (even) is exact.
+                return jnp.zeros((N,), jnp.int32).at[idx].set(ncr)
+            return f
+
+        n_cross = _tiered_eval(jnp.sum(cand), cand_tiers,
+                               parity_at, parity_full)
+    else:
+        n_cross = parity_full(None)
     inside = n_cross % 2 == 1
-
-    K2 = min(inside_budget, N)
-
-    def dist_culled(_):
-        _, idx = jax.lax.top_k(inside.astype(points.dtype), K2)
-        d2, cl = _dist_closest_scan(points[idx], chunks)
-        phi = jnp.zeros((N,), points.dtype).at[idx].set(
-            jnp.where(inside[idx], jnp.sqrt(d2), 0.0))
-        # Outside points keep closest = 0; the JVP only reads closest
-        # where inside & phi > 1e-5.
-        closest = jnp.zeros((N, 3), points.dtype).at[idx].set(cl)
-        return phi, closest
 
     def dist_full(_):
         min_d2, cl = _dist_closest_scan(points, chunks)
         return jnp.where(inside, jnp.sqrt(min_d2), 0.0), cl
 
-    phi, closest = jax.lax.cond(jnp.sum(inside) <= K2,
-                                dist_culled, dist_full, None)
+    if inside_tiers:
+        def dist_at(K):
+            def f(_):
+                _, idx = jax.lax.top_k(inside.astype(points.dtype), K)
+                d2, cl = _dist_closest_scan(points[idx], chunks)
+                phi = jnp.zeros((N,), points.dtype).at[idx].set(
+                    jnp.where(inside[idx], jnp.sqrt(d2), 0.0))
+                # Outside points keep closest = 0; the JVP only reads
+                # closest where inside & phi > 1e-5.
+                closest = jnp.zeros((N, 3),
+                                    points.dtype).at[idx].set(cl)
+                return phi, closest
+            return f
+
+        phi, closest = _tiered_eval(jnp.sum(inside), inside_tiers,
+                                    dist_at, dist_full)
+    else:
+        phi, closest = dist_full(None)
     return phi, closest, inside
 
 

@@ -371,7 +371,8 @@ class TestSdfAtPoints:
         n_in = int(inside.sum())
         assert 0 < n_in < 1024          # fixture exercises the cull
 
-        for k1, k2 in ((4096, 1024),          # culled, within budget
+        for k1, k2 in ((4096, 1024),          # single culled tier
+                       ((1024, 4096), (256, 1024)),  # default-style ladder
                        (max(n_in // 2, 1),) * 2):   # overflow fallback
             got = _sdf_at_points_impl(pts, vj, fj,
                                       cand_budget=k1, inside_budget=k2)

@@ -39,6 +39,8 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                refine_iters: int = 12,
                polish_iters: int = 5,
                sdf_engine: str = "points",
+               points_iters: int = 15,
+               points_anneal: bool = True,
                ) -> Tuple[FitResult, jnp.ndarray]:
     """Fit P people in one frame.
 
@@ -60,6 +62,19 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
           quality/speed fix).
       refine_iters / polish_iters: hybrid-schedule budgets (grid
         engine only).
+      points_iters: total LM budget of the points-engine joint
+        refinement.  15 suffices for moderate overlap (0.5 m-spaced
+        fixtures at P=2..4 all reach zero true penetration).
+      points_anneal: run the points refinement through EVERY
+        collision-active annealing stage's weights in order (the
+        reference activates collision at stage 3 weight 1000 before
+        stage 4's 4500, `cfg_files/fit_smpl.yaml:52-59`), splitting
+        `points_iters` across them, instead of only the final stage.
+        Jumping straight to the final weight makes the collision rows
+        dwarf the data rows on deeply-overlapping initializations and
+        LM walks into a distorted basin it cannot leave (measured:
+        the 0.25 m-spaced P=4 stress ends at data losses ~1e6 with
+        penetration unresolved, and more iterations do NOT help).
       sdf_engine: "points" (default) evaluates the exact field
         directly at the query vertices (`ops/sdf.py:sdf_at_points` —
         the G -> infinity limit of the reference's grid, no voxelizer
@@ -99,8 +114,9 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
     # Phase 2: joint refinement over the concatenated parameters with
     # SDF coupling, final-stage weights (mirrors the reference's use of
     # the last annealing stage for the collision-weighted solve).
-    weights = default_stages(cfg, jnp.asarray(img_height,
-                                              jnp.float32))[-1]
+    stage_tbl = default_stages(cfg, jnp.asarray(img_height,
+                                                jnp.float32))
+    weights = stage_tbl[-1]
     n = E.num_unknowns(solo_spec)
 
     xs0 = jax.vmap(
@@ -153,14 +169,14 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                            spec.coll_grid_size, spec.use_pallas_sdf)
         return jnp.concatenate([rows, weights.coll * s / P])
 
-    def joint_residual_points(flat):
+    def joint_residual_points(flat, w):
         xs = flat.reshape(P, n)
         rows = jax.vmap(
             lambda x, o: E.residuals(solo_spec, assets, cam, o,
-                                     weights, vposer_w, gmm, x))(
+                                     w, vposer_w, gmm, x))(
             xs, obs_people).reshape(-1)
         s = collision_sums_points(all_verts(xs), assets.faces)
-        return jnp.concatenate([rows, weights.coll * s / P])
+        return jnp.concatenate([rows, w.coll * s / P])
 
     mask = jnp.tile(E.free_mask(solo_spec), P)
     # speculative=False always: the stiff collision refinement degrades
@@ -172,8 +188,18 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
             else ("lagged" if lagged_sdf else "exact"))
     flat = xs0.reshape(-1)
     if sdf_engine == "points":
-        flat, loss = lm_fit(joint_residual_points, flat, mask,
-                            base_lm.replace(max_iters=15))
+        # Collision-active stages in order (python-static: the weights
+        # lists are config floats).  Without anneal, final stage only.
+        ids = ([i for i, cw in enumerate(cfg.coll_weights) if cw > 0]
+               if points_anneal else [])
+        ids = ids or [len(stage_tbl) - 1]
+        per = max(1, points_iters // len(ids))
+        budgets = [per] * (len(ids) - 1) + [
+            max(1, points_iters - per * (len(ids) - 1))]
+        for sid, iters in zip(ids, budgets):
+            flat, loss = lm_fit(
+                lambda f, w=stage_tbl[sid]: joint_residual_points(f, w),
+                flat, mask, base_lm.replace(max_iters=iters))
     elif mode == "lagged":
         flat, loss = lm_fit(joint_residual, flat, mask,
                             base_lm.replace(max_iters=15),

@@ -456,6 +456,26 @@ class TestSdfAtPoints:
         g = jax.grad(lambda v: jnp.sum(sdf_at_points(pts, v, fj)))(vj)
         np.testing.assert_array_equal(np.asarray(g), 0.0)
 
+    def test_collision_sums_points_three_people(self):
+        """P=3 exercises the skip-self concatenation path: person 0
+        and 1 overlap, person 2 is far away — cross sums must be
+        positive exactly for the overlapping pair and ~0 for the
+        isolated one, and `include_self=True` must agree up to the
+        on-surface fp dust (the self term is identically 0 in the
+        exact field)."""
+        from mvsmplfitting_tpu.ops.sdf import collision_sums_points
+        v1, faces = icosphere(radius=0.5, n=12)
+        v2 = v1 + np.array([0.45, 0.0, 0.0], np.float32)
+        v3 = v1 + np.array([5.0, 0.0, 0.0], np.float32)
+        verts = jnp.asarray(np.stack([v1, v2, v3]))
+        fj = jnp.asarray(faces)
+        s = np.asarray(collision_sums_points(verts, fj))
+        assert s[0] > 0 and s[1] > 0        # the overlapping pair
+        np.testing.assert_allclose(s[2], 0.0, atol=1e-5)
+        s_self = np.asarray(collision_sums_points(verts, fj,
+                                                  include_self=True))
+        np.testing.assert_allclose(s_self, s, atol=1e-3)
+
     def test_collision_sums_points_converges_to_grid(self):
         """collision_sums_points == the G -> infinity limit of
         collision_sums: the grid value at G=48 must be closer to the

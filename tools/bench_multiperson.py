@@ -1,9 +1,11 @@
 """One-off chip measurement: multi-person + SDF fit (BASELINE cfg 4).
 
 Run on the real TPU (serialized — one TPU process at a time):
-    timeout 1700 python tools/bench_multiperson.py [grid [mode]]
+    timeout 1700 python tools/bench_multiperson.py [grid [mode [P]]]
 mode: points (default — the gridless exact engine), or a grid-engine
 schedule: 1/lagged, 0/exact, hybrid.  grid only affects grid modes.
+P: number of people (default 2) in a 0.5 m-spaced overlapping line
+(P=2 reproduces the original +-0.25 m fixture exactly).
 
 The synthetic two-person-overlap problem from the r2 measurements
 (`docs/BENCH_NOTES.md` multi-person rows): P=2 people 0.5 m apart,
@@ -59,6 +61,7 @@ def make_cameras(num_views=6, radius=4.0):
 def main():
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     raw = sys.argv[2] if len(sys.argv) > 2 else "points"
+    P = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     engine = "points" if raw == "points" else "grid"
     lagged = ({"1": True, "lagged": True, "0": False, "exact": False}
               .get(raw, raw))
@@ -71,7 +74,8 @@ def main():
     cam = make_cameras()
 
     obs_list = []
-    for dx in (-0.25, 0.25):
+    offsets = [0.5 * (p - (P - 1) / 2.0) for p in range(P)]
+    for dx in offsets:
         z = jnp.asarray(0.2 * rng.standard_normal(32), jnp.float32)
         true = SMPLParams(
             betas=jnp.asarray(0.3 * rng.standard_normal(10),
@@ -114,9 +118,9 @@ def main():
         # the final-stage weight — the exact objective of the joint
         # refinement solve (fit_people's joint_residual).
         w_coll = cfg.coll_weights[-1]
-        return float(loss.sum() + ((w_coll * sums / 2.0) ** 2).sum())
+        return float(loss.sum() + ((w_coll * sums / P) ** 2).sum())
 
-    print(f"grid={grid} engine={engine} lagged={lagged} "
+    print(f"grid={grid} engine={engine} lagged={lagged} P={P} "
           f"device={jax.devices()[0]}", flush=True)
     t0 = time.perf_counter()
     loss, sums = jax.tree.map(np.asarray, run())

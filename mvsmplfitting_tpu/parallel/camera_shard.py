@@ -43,10 +43,15 @@ def _local_camera(cam: Camera) -> Camera:
 
 def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
                 cam_l: Camera, obs_l: Observations,
-                weights: StageWeights, x0: jnp.ndarray) -> jnp.ndarray:
+                weights: StageWeights, x0: jnp.ndarray,
+                max_iters_cap: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """LM minimization with camera-sharded normal-equation assembly.
 
     Runs inside `shard_map`; `cam_l` / `obs_l` hold this shard's views.
+    ``max_iters_cap`` optionally replaces the static ``opts.max_iters``
+    bound with a TRACED iteration cap, so different budgets (a fast
+    smoke and a converged parity run) share one compiled program
+    instead of recompiling the whole sharded fit per budget.
     """
     spec = cfg.spec
     opts = cfg.lm
@@ -108,8 +113,11 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
             (jnp.max(jnp.abs(g)) < opts.gtol)
         return (x, loss_out, lam, it + 1, done)
 
+    iter_bound = (opts.max_iters if max_iters_cap is None
+                  else max_iters_cap)
+
     def cond(state):
-        return (state[3] < opts.max_iters) & ~state[4]
+        return (state[3] < iter_bound) & ~state[4]
 
     init = (x0, loss_of(x0), jnp.asarray(opts.init_lambda, x0.dtype),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
@@ -146,18 +154,37 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
                        obs: Observations, mesh: Mesh,
                        vposer_w=None, gmm=None,
                        img_height: float = 1080.0,
-                       est_scale: bool = True):
+                       est_scale: bool = True,
+                       max_iters_cap: Optional[jnp.ndarray] = None,
+                       scan_stages: bool = False):
     """Fit a frame batch on a (frames, cameras) mesh.
 
     Args:
       obs: batched observations, arrays shaped (B, V, ...); B divisible
         by the frames axis, V by the cameras axis.
+      max_iters_cap: optional traced per-stage iteration cap (replaces
+        the static ``cfg.lm.max_iters`` while-loop bound; different
+        budgets then reuse one compiled program).
+      scan_stages: run the annealing stages as one `lax.scan` over a
+        stacked weights table instead of a Python unroll — ~4x less
+        graph to trace/compile (the dryrun/CI choice; the unrolled
+        default lets XLA constant-fold per-stage weights, which
+        measured ~10% faster on chip for the solo fit).
 
     Returns:
       (x (B, n) packed parameters, loss (B,)).
     """
     spec = cfg.spec
     stages = default_stages(cfg, jnp.asarray(img_height, jnp.float32))
+    if scan_stages:
+        # This path never evaluates the SDF term (no collision rows in
+        # `_lm_sharded`), so the static coll_on flag is dead — normalize
+        # it for a uniform pytree structure across the stacked stages.
+        stages = [s.replace(coll_on=False) for s in stages]
+        wtable = jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+    cap = (jnp.asarray(cfg.lm.max_iters, jnp.int32)
+           if max_iters_cap is None
+           else jnp.asarray(max_iters_cap, jnp.int32))
 
     obs_spec = Observations(
         gt2d=P(FRAMES_AXIS, CAMERAS_AXIS),
@@ -170,12 +197,15 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
                       translation=P(CAMERAS_AXIS),
                       focal=P(CAMERAS_AXIS), center=P(CAMERAS_AXIS))
 
+    extra_in = ((jax.tree.map(lambda _: P(), wtable),)
+                if scan_stages else ())
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(cam_spec, obs_spec),
+        in_specs=(cam_spec, obs_spec, P()) + extra_in,
         out_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS)),
         check_vma=False)
-    def run(cam_l: Camera, obs_l: Observations):
+    def run(cam_l: Camera, obs_l: Observations, cap_l, *wt):
         def one_frame(o: Observations):
             # Initialization needs all views: triangulation's 3x3 normal
             # equations are themselves psum-assembled across the axis.
@@ -199,12 +229,23 @@ def camera_sharded_fit(cfg: FitConfig, assets, cam: Camera,
                        jnp.zeros((E.LATENT_DIM,)) if spec.use_vposer
                        else None)
 
-            loss = jnp.zeros(())
-            for wts in stages:
-                x, loss = _lm_sharded(cfg, assets, vposer_w, gmm, cam_l,
-                                      o, wts, x)
+            if scan_stages:
+                def stage_body(carry, w):
+                    xc, _ = carry
+                    xn, ln = _lm_sharded(cfg, assets, vposer_w, gmm,
+                                         cam_l, o, w, xc, cap_l)
+                    return (xn, ln), None
+                (x, loss), _ = jax.lax.scan(
+                    stage_body, (x, jnp.zeros(())), wt[0])
+            else:
+                loss = jnp.zeros(())
+                for wts in stages:
+                    x, loss = _lm_sharded(cfg, assets, vposer_w, gmm,
+                                          cam_l, o, wts, x, cap_l)
             return x, loss
 
         return jax.vmap(one_frame)(obs_l)
 
-    return run(cam, obs)
+    if scan_stages:
+        return run(cam, obs, cap, wtable)
+    return run(cam, obs, cap)

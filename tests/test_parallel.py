@@ -108,3 +108,38 @@ class TestCameraSharding:
             np.full(B, float(single.loss)), rtol=5e-3)
         np.testing.assert_allclose(np.asarray(x_sharded[0]),
                                    np.asarray(x_single), atol=5e-2)
+
+    def test_scan_stages_and_dynamic_cap_match_unrolled(
+            self, assets, vposer_w, rng):
+        """The dryrun path (stages as one lax.scan + traced iteration
+        cap) must run the same math as the unrolled Python-loop form,
+        and the traced cap must actually bound the while_loop (a cap
+        below max_iters changes the answer)."""
+        cam, obs, true, _ = make_problem(assets, vposer_w, rng)
+        B = 4
+        mesh = make_mesh(MeshLayout(frames=2, cameras=2),
+                         devices=jax.devices()[:4])
+        cfg = FitConfig(lm=LMOptions(max_iters=5),
+                        pose_weights=(404.0, 57.4),
+                        shape_weights=(50.0, 10.0),
+                        coll_weights=(0.0, 0.0))
+        obs_b = _broadcast(obs, B)
+
+        _, loss_unrolled = camera_sharded_fit(
+            cfg, assets, cam, obs_b, mesh, vposer_w=vposer_w,
+            img_height=1080.0)
+        fit = jax.jit(lambda c, o, cap: camera_sharded_fit(
+            cfg, assets, c, o, mesh, vposer_w=vposer_w,
+            img_height=1080.0, max_iters_cap=cap, scan_stages=True))
+        _, loss_scan = fit(cam, obs_b, jnp.asarray(5, jnp.int32))
+        # Identical math in scan vs unrolled bodies is NOT bitwise
+        # (XLA FMA contraction differs per loop form, <= ~4e-6 rel per
+        # op — see CLAUDE.md); 5 LM iterations amplify it to ~1e-4.
+        np.testing.assert_allclose(np.asarray(loss_scan),
+                                   np.asarray(loss_unrolled), rtol=1e-3)
+
+        # Same compiled program, smaller budget: must early-stop at a
+        # different (worse-or-equal, here strictly different) loss.
+        _, loss_capped = fit(cam, obs_b, jnp.asarray(1, jnp.int32))
+        assert not np.allclose(np.asarray(loss_capped),
+                               np.asarray(loss_scan), rtol=1e-6)

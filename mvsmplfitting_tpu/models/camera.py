@@ -96,6 +96,22 @@ def load_cameras_txt(path: str, dtype=jnp.float32) -> Camera:
     )
 
 
+def get_rot_trans(campose, photoscan: bool = False):
+    """Split 4x4 camera poses into (translations, rotations) lists
+    (`code/utils/module_utils.py:327-338`; also `utils.py` — used by
+    `init.py:106`).  ``photoscan=True`` inverts each pose first — the
+    reference's adapter for Agisoft-convention extrinsics stored as
+    camera-to-world.
+    """
+    trans, rot = [], []
+    for cam_pose in campose:
+        if photoscan:
+            cam_pose = np.linalg.inv(cam_pose)
+        trans.append(cam_pose[:3, 3])
+        rot.append(cam_pose[:3, :3])
+    return trans, rot
+
+
 def save_cameras_txt(path: str, cam: Camera) -> None:
     """Write cameras back in the same text format."""
     K = np.asarray(cam.intrinsic())

@@ -47,6 +47,51 @@ def estimate_translation_weak(S: jnp.ndarray, joints_2d: jnp.ndarray,
     return jnp.linalg.solve(A, Qw.T @ cw)
 
 
+def surface_project(vertices: jnp.ndarray, exter: jnp.ndarray,
+                    intri: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project mesh vertices into one camera
+    (`module_utils.py:533-541` ``surface_project``).
+
+    Returns (camera-space points (N, 3), integer pixel coordinates
+    (N, 2) — truncated to int32 exactly like the reference's
+    ``astype(np.int32)``).
+    """
+    vh = jnp.concatenate([vertices,
+                          jnp.ones_like(vertices[:, :1])], axis=1)
+    cam_pts = (exter @ vh.T)                       # (4, N)
+    mesh_3d = cam_pts.T[:, :3]
+    intri_ = jnp.concatenate([intri, jnp.zeros((3, 1))], axis=1)
+    proj = (intri_ @ cam_pts) / cam_pts[2]
+    mesh_2d = proj[:2].astype(jnp.int32).T
+    return mesh_3d, mesh_2d
+
+
+def convert_world_coord(pose: jnp.ndarray, transl: jnp.ndarray,
+                        extri: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-frame SMPL params -> world frame
+    (`module_utils.py:289-325` ``convert_world_coord``).
+
+    Rotates the global orientation and translation by the inverse
+    extrinsic.  (The reference's in-function SMPL forward computes a
+    root joint it never uses — its root-pivot correction is commented
+    out — so the active math is exactly this rotation.)
+
+    Args: pose (F, 72) axis-angle, transl (F, 3), extri (4, 4).
+    Returns (pose', transl') in the world frame.
+    """
+    from .rotations import matrix_to_axis_angle, rodrigues
+
+    inv = jnp.linalg.inv(extri)
+    R = rodrigues(pose[:, :3])                         # (F, 3, 3)
+    new_orient = matrix_to_axis_angle(
+        jnp.einsum("ij,fjk->fik", inv[:3, :3], R))
+    new_pose = pose.at[:, :3].set(new_orient)
+    new_trans = jnp.einsum("ij,fj->fi", inv[:3, :3], transl) + inv[:3, 3]
+    return new_pose, new_trans
+
+
 def rigid_transform_3d(A: jnp.ndarray, B: jnp.ndarray
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kabsch rigid alignment A -> B (`module_utils.py:506-531`).

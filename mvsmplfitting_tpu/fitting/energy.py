@@ -316,7 +316,17 @@ def data_residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     """
     params, z, body_pose, verts, joints = _forward(
         spec, assets, vposer_w, x)
+    return _data_rows_from_joints(spec, cam, obs, weights, joints,
+                                  include_3d)
 
+
+def _data_rows_from_joints(spec: EnergySpec, cam: Camera,
+                           obs: Observations, weights: StageWeights,
+                           joints: jnp.ndarray,
+                           include_3d: bool = True) -> jnp.ndarray:
+    """Data rows given the mapped joints (the shallow tail of the
+    residual graph — everything upstream of `joints` lives in
+    `_forward`/`joint_jacobian`)."""
     proj = project_points(cam, joints)
     w = _data_weights(spec, obs) * weights.data           # (V, K)
     rows = [(w[..., None] * gmof_residual(obs.gt2d - proj, spec.rho)
@@ -340,19 +350,14 @@ def joints3d_residuals(spec: EnergySpec, assets: SMPLAssets,
     return (w3 * gmof_residual(obs.gt3d - joints, spec.rho)).reshape(-1)
 
 
-def prior_residuals(spec: EnergySpec, weights: StageWeights,
-                    gmm: Optional[GMMPrior],
-                    vposer_w: Optional[vposer_lib.VPoserWeights],
-                    x: jnp.ndarray) -> jnp.ndarray:
-    """Prior residual rows: pose (32 or 69 [+69]), shape (NB), bending (4).
-
-    The GMM prior's -log-weight offset is locally constant and only
-    enters the scalar form; its quadratic part is exact here.
-    """
-    params, z = unpack(spec, x)
-    body_pose = (vposer_lib.decode(vposer_w, z) if spec.use_vposer
-                 else params.body_pose)
-
+def _prior_rows_core(spec: EnergySpec, weights: StageWeights,
+                     gmm: Optional[GMMPrior],
+                     z: Optional[jnp.ndarray], body_pose: jnp.ndarray,
+                     betas: jnp.ndarray) -> jnp.ndarray:
+    """Prior rows as an explicit function of (z, body_pose, betas) —
+    the shallow tail downstream of the VPoser decode, so the analytic
+    Jacobian path (`residual_jacobian`) can chain d(body_pose)/dz
+    through it without re-deriving the decoder."""
     rows = []
     if spec.use_vposer:
         rows.append(weights.pose * z)
@@ -372,7 +377,7 @@ def prior_residuals(spec: EnergySpec, weights: StageWeights,
         rows.append(4.0 * weights.pose * body_pose)
 
     if not spec.fix_shape:
-        rows.append(weights.shape * params.betas)
+        rows.append(weights.shape * betas)
 
     # angle term: sum(exp(s*theta)^2) * w  ==  sum((sqrt(w) exp(s*theta))^2)
     angle_rows = (jnp.sqrt(weights.bending) *
@@ -384,6 +389,24 @@ def prior_residuals(spec: EnergySpec, weights: StageWeights,
         gate = jax.lax.stop_gradient(total_angle <= 1e4)
         angle_rows = jnp.where(gate, 1.0, 0.0) * angle_rows
     rows.append(angle_rows)
+    return jnp.concatenate(rows)
+
+
+def prior_residuals(spec: EnergySpec, weights: StageWeights,
+                    gmm: Optional[GMMPrior],
+                    vposer_w: Optional[vposer_lib.VPoserWeights],
+                    x: jnp.ndarray) -> jnp.ndarray:
+    """Prior residual rows: pose (32 or 69 [+69]), shape (NB), bending (4).
+
+    The GMM prior's -log-weight offset is locally constant and only
+    enters the scalar form; its quadratic part is exact here.
+    """
+    params, z = unpack(spec, x)
+    body_pose = (vposer_lib.decode(vposer_w, z) if spec.use_vposer
+                 else params.body_pose)
+
+    rows = [_prior_rows_core(spec, weights, gmm, z, body_pose,
+                             params.betas)]
 
     # SMPL-H/X block priors (see energy_terms): L2 rows whose squares
     # reproduce the scalar extra_prior exactly.
@@ -423,6 +446,87 @@ def residuals(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
                            spec.use_pallas_sdf)
         rows.append(weights.coll * s / s.shape[0])
     return jnp.concatenate(rows)
+
+
+def analytic_jac_ok(spec: EnergySpec, assets: SMPLAssets) -> bool:
+    """True when `residual_jacobian` covers this energy exactly:
+    a reduced joint model with a plain chain pose (smpl/smpllsp), no
+    SMPL-H/X tail blocks, and no collision rows (per-stage collision is
+    gated separately by the caller — see `stages.run_stage`)."""
+    return (assets.joint_model is not None
+            and assets.model_type in ("smpl", "smpllsp")
+            and extra_dims(spec) == 0)
+
+
+def residual_jacobian(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
+                      obs: Observations, weights: StageWeights,
+                      vposer_w: Optional[vposer_lib.VPoserWeights],
+                      gmm: Optional[GMMPrior], x: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(r, J) == (`residuals(x)`, its Jacobian), without per-column AD
+    through the body model.
+
+    The LM iteration is latency-bound on the ~50 forward-mode tangent
+    chains through rodrigues + the kinematic tree (97% of the
+    linearize, docs/BENCH_NOTES.md r4).  Here the deep part of the
+    Jacobian comes in closed form from `models.joint_jac.joint_jacobian`
+    (batched einsums over primal chain quantities) and the VPoser
+    decoder Jacobian from `vposer.decode_jac` (two matmuls); only the
+    *shallow* row tails (projection/gmof, prior rows) are linearized,
+    whose tangent columns are nearly free.  Valid when
+    `analytic_jac_ok` holds and collision rows are inactive; exactness
+    vs `jax.linearize` of `residuals` is tested in
+    `tests/test_joint_jac.py`.
+    """
+    from ..models.joint_jac import joint_jacobian
+
+    n = x.shape[0]
+    p = pose_dim(spec)
+    nb = spec.num_betas
+    params, z = unpack(spec, x)
+
+    if spec.use_vposer:
+        body_pose, D_z = vposer_lib.decode_jac(vposer_w, z)
+    else:
+        body_pose = params.body_pose
+        D_z = None
+
+    joints, blk = joint_jacobian(assets.joint_model, params, body_pose)
+
+    # d joints / d x, one (K, 3) tangent per packed column, in the
+    # pack() layout [pose block (p), betas, orient(3), transl(3), scale].
+    cp = body_pose.shape[0]
+    if spec.use_vposer:
+        block_cols = jnp.einsum("qkc,qZ->Zkc", blk["pose"][:cp], D_z)
+    else:
+        block_cols = blk["pose"][:cp]
+    djoints = jnp.concatenate([
+        block_cols, blk["betas"], blk["orient"], blk["transl"],
+        blk["scale"]], axis=0)                             # (n, K, 3)
+
+    # All residual rows as ONE shallow graph in (joints, z, body_pose,
+    # betas); its tangent columns are nearly free (+63 us for all 49 on
+    # chip) and a single graph avoids duplicating the row-op chain.
+    z_in = z if spec.use_vposer else jnp.zeros((1,), x.dtype)
+
+    def rows(j, zz, bp, be):
+        return jnp.concatenate([
+            _data_rows_from_joints(spec, cam, obs, weights, j),
+            _prior_rows_core(spec, weights, gmm, zz, bp, be)])
+
+    r, lin = jax.linearize(rows, joints, z_in, body_pose, params.betas)
+
+    dz = jnp.zeros((n,) + z_in.shape, x.dtype)
+    dbp = jnp.zeros((n, cp), x.dtype)
+    if spec.use_vposer:
+        dz = dz.at[:p].set(jnp.eye(p, dtype=x.dtype))
+        dbp = dbp.at[:p].set(D_z.T)
+    else:
+        dbp = dbp.at[:p].set(jnp.eye(p, dtype=x.dtype)[:, :cp])
+    dbe = jnp.zeros((n, nb), x.dtype).at[p:p + nb].set(
+        jnp.eye(nb, dtype=x.dtype))
+    J = jax.vmap(lin)(djoints, dz, dbp, dbe).T             # (m, n)
+    return r, J
 
 
 def reprojection_error_px(spec: EnergySpec, assets: SMPLAssets, cam: Camera,

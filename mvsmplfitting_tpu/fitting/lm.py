@@ -59,6 +59,13 @@ class LMOptions:
     # row/column-scaled systems (rel err ~1 at cond 1e5+ with mixed
     # parameter scales).
     schulz_iters: int = struct.field(pytree_node=False, default=12)
+    # Jacobian mode: "ad" (jax.linearize + n vmapped JVP columns) or
+    # "analytic" (closed-form chain generators + decoder composition,
+    # `energy.residual_jacobian` — used when the energy qualifies, see
+    # `energy.analytic_jac_ok`; callers fall back to "ad" otherwise).
+    # The AD tangent graph is 97% of the linearize cost on chip
+    # (docs/BENCH_NOTES.md r4).
+    jac: str = struct.field(pytree_node=False, default="ad")
 
 
 def _solve_spd(A: jnp.ndarray, b: jnp.ndarray, method: str,
@@ -117,6 +124,9 @@ def lm_fit(residual_fn: Callable[..., jnp.ndarray],
            mask: jnp.ndarray,
            opts: LMOptions = LMOptions(),
            aux_fn: Optional[Callable[[jnp.ndarray], object]] = None,
+           jac_fn: Optional[Callable[[jnp.ndarray],
+                                     Tuple[jnp.ndarray, jnp.ndarray]]]
+           = None,
            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``sum(residual_fn(x)**2)`` from ``x0``.
 
@@ -138,6 +148,9 @@ def lm_fit(residual_fn: Callable[..., jnp.ndarray],
     """
     n = x0.shape[0]
     eye = jnp.eye(n, dtype=x0.dtype)
+    if jac_fn is not None and aux_fn is not None:
+        raise ValueError("jac_fn (analytic Jacobian) does not cover "
+                         "aux-state residuals (lagged SDF)")
 
     if aux_fn is None:
         def res(x, aux):
@@ -155,13 +168,20 @@ def lm_fit(residual_fn: Callable[..., jnp.ndarray],
         r = res(x, aux)
         return jnp.sum(r * r)
 
+    def r_and_J(x, aux):
+        if jac_fn is not None:
+            r, J = jac_fn(x)
+        else:
+            # linearize shares the primal trace between r and the n JVPs
+            # (one residual evaluation fewer per iteration than jacfwd +
+            # a separate primal call).
+            r, lin = jax.linearize(lambda v: res(v, aux), x)
+            J = jax.vmap(lin)(eye).T                # (m, n)
+        return r, J * mask[None, :]
+
     def step(state: _LMState) -> _LMState:
         aux = make_aux(state.x)
-        # linearize shares the primal trace between r and the n JVPs
-        # (one residual evaluation fewer per iteration than jacfwd + a
-        # separate primal call).
-        r, lin = jax.linearize(lambda x: res(x, aux), state.x)
-        J = jax.vmap(lin)(eye).T * mask[None, :]   # (m, n)
+        r, J = r_and_J(state.x, aux)
         g = J.T @ r                       # (n,) gradient/2
         JtJ = J.T @ J
 
@@ -203,7 +223,8 @@ def lm_fit(residual_fn: Callable[..., jnp.ndarray],
         return (state.it < opts.max_iters) & ~state.done
 
     if opts.speculative:
-        return _lm_fit_speculative(res, make_aux, x0, mask, opts, eye)
+        return _lm_fit_speculative(res, make_aux, x0, mask, opts, eye,
+                                   jac_fn=jac_fn)
 
     init = _LMState(x=x0, loss=loss_of(x0, make_aux(x0)),
                     lam=jnp.asarray(opts.init_lambda, x0.dtype),
@@ -213,7 +234,8 @@ def lm_fit(residual_fn: Callable[..., jnp.ndarray],
     return final.x, final.loss
 
 
-def _lm_fit_speculative(res, make_aux, x0, mask, opts: LMOptions, eye):
+def _lm_fit_speculative(res, make_aux, x0, mask, opts: LMOptions, eye,
+                        jac_fn=None):
     """Single-evaluation-per-iteration LM (see LMOptions.speculative).
 
     Carried state: (x, x_prev, f_prev, lam, it, done, moved).  `x` may
@@ -228,7 +250,11 @@ def _lm_fit_speculative(res, make_aux, x0, mask, opts: LMOptions, eye):
     def step(state):
         x, x_prev, f_prev, lam, it, done, moved = state
         aux = make_aux(x)
-        r, lin = jax.linearize(lambda v: res(v, aux), x)
+        if jac_fn is not None:
+            r, J = jac_fn(x)
+        else:
+            r, lin = jax.linearize(lambda v: res(v, aux), x)
+            J = jax.vmap(lin)(eye).T
         f = jnp.sum(r * r)
 
         worse = moved & ((f >= f_prev) | ~jnp.isfinite(f))
@@ -236,7 +262,7 @@ def _lm_fit_speculative(res, make_aux, x0, mask, opts: LMOptions, eye):
             jnp.maximum(jnp.abs(f_prev), jnp.abs(f)), 1.0)
         small_f = moved & ~worse & (rel <= opts.ftol)
 
-        J = jax.vmap(lin)(eye).T * mask[None, :]
+        J = J * mask[None, :]
         g = J.T @ r
         JtJ = J.T @ J
         lam = jnp.clip(
@@ -281,6 +307,9 @@ def lm_fit_staged(residual_fn: Callable[[jnp.ndarray, object],
                   weights_table,
                   num_stages: int,
                   opts: LMOptions = LMOptions(),
+                  jac_fn: Optional[Callable[[jnp.ndarray, object],
+                                            Tuple[jnp.ndarray,
+                                                  jnp.ndarray]]] = None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All annealing stages in ONE `lax.while_loop` — the fused form.
 
@@ -311,8 +340,12 @@ def lm_fit_staged(residual_fn: Callable[[jnp.ndarray, object],
         def res(xv):
             return residual_fn(xv, w)
 
-        r, lin = jax.linearize(res, x)
-        J = jax.vmap(lin)(eye).T * mask[None, :]
+        if jac_fn is not None:
+            r, J = jac_fn(x, w)
+        else:
+            r, lin = jax.linearize(res, x)
+            J = jax.vmap(lin)(eye).T
+        J = J * mask[None, :]
         loss_old = jnp.sum(r * r)
         g = J.T @ r
         JtJ = J.T @ J

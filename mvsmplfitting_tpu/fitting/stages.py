@@ -111,7 +111,14 @@ def run_stage(cfg: FitConfig, assets: SMPLAssets, cam: Camera,
         def res_fn(xv):
             return E.residuals(spec, assets, cam, obs, weights, vposer_w,
                                gmm, xv)
-        x_new, _ = lm_fit(res_fn, x, mask, cfg.lm)
+
+        jac_fn = None
+        if (cfg.lm.jac == "analytic" and E.analytic_jac_ok(spec, assets)
+                and not (spec.interpenetration and weights.coll_on)):
+            def jac_fn(xv):
+                return E.residual_jacobian(spec, assets, cam, obs,
+                                           weights, vposer_w, gmm, xv)
+        x_new, _ = lm_fit(res_fn, x, mask, cfg.lm, jac_fn=jac_fn)
         # Report the true scalar energy (incl. non-LSQ constants like the
         # GMM -log w term) so losses are comparable across solvers.
         loss = E.total_energy(spec, assets, cam, obs, weights, vposer_w,
@@ -167,8 +174,15 @@ def fit_frame(cfg: FitConfig, assets: SMPLAssets, cam: Camera,
             return E.residuals(spec, assets, cam, obs, w, vposer_w,
                                gmm, xv)
 
+        jac_fn = None
+        if (cfg.lm.jac == "analytic" and E.analytic_jac_ok(spec, assets)
+                and not any(s.coll_on and spec.interpenetration
+                            for s in stages)):
+            def jac_fn(xv, w):
+                return E.residual_jacobian(spec, assets, cam, obs, w,
+                                           vposer_w, gmm, xv)
         x, losses_arr = lm_fit_staged(res, x, mask, table, len(stages),
-                                      cfg.lm)
+                                      cfg.lm, jac_fn=jac_fn)
         stage_losses = [losses_arr[i] for i in range(len(stages))]
         # Report the final scalar energy (matches the unrolled path,
         # incl. non-LSQ constants like the GMM -log w offset).

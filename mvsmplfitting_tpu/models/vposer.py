@@ -69,6 +69,40 @@ def decode(weights: VPoserWeights, z: jnp.ndarray) -> jnp.ndarray:
     return aa.reshape(z.shape[:-1] + (NUM_JOINTS * 3,))
 
 
+def decode_jac(weights: VPoserWeights, z: jnp.ndarray
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode z (32,) -> (body_pose (69,), d body_pose / d z (69, 32)).
+
+    The Jacobian is composed analytically through the MLP (two
+    row-scaled matmuls instead of 32 forward-mode AD columns — the MLP
+    tangents are the one FLOP-bound piece of the fitting iteration,
+    docs/BENCH_NOTES.md r4), with the shallow 6D->matrix->axis-angle
+    tail differentiated by AD per joint (6 columns of a tiny graph).
+    Exact: tested against ``jax.jacfwd(decode)`` to fp32 round-off.
+    """
+    h1p = z @ weights.dec_fc1_w + weights.dec_fc1_b
+    g1 = jnp.where(h1p >= 0, 1.0, 0.2)
+    h1 = jnp.where(h1p >= 0, h1p, 0.2 * h1p)
+    h2p = h1 @ weights.dec_fc2_w + weights.dec_fc2_b
+    g2 = jnp.where(h2p >= 0, 1.0, 0.2)
+    h2 = jnp.where(h2p >= 0, h2p, 0.2 * h2p)
+    o = h2 @ weights.dec_out_w + weights.dec_out_b        # (138,)
+
+    D1 = g1[:, None] * weights.dec_fc1_w.T                # (512, 32)
+    D2 = g2[:, None] * (weights.dec_fc2_w.T @ D1)         # (512, 32)
+    Do = weights.dec_out_w.T @ D2                         # (138, 32)
+
+    def tail(o6):
+        return matrix_to_axis_angle(sixd_to_matrix(o6))   # (6,) -> (3,)
+
+    o6 = o.reshape(NUM_JOINTS, 6)
+    aa = jax.vmap(tail)(o6)                               # (23, 3)
+    Jt = jax.vmap(jax.jacfwd(tail))(o6)                   # (23, 3, 6)
+    D = jnp.einsum("jab,jbZ->jaZ",
+                   Jt, Do.reshape(NUM_JOINTS, 6, -1))
+    return aa.reshape(-1), D.reshape(NUM_JOINTS * 3, -1)
+
+
 def encode_mean(weights: VPoserWeights, body_pose: jnp.ndarray,
                 eps: float = 1e-5) -> jnp.ndarray:
     """Posterior mean for a body pose (..., 69) -> z (..., 32) (eval-mode BN)."""

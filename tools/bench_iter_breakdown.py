@@ -209,6 +209,92 @@ def main():
     out["linearize_assemble_bf16_us"] = timed(
         "linearize+JtJ[bf16]", chain_lin_bf, x0)
 
+    # (k) the analytic Jacobian path (energy.residual_jacobian):
+    # closed-form chain/decoder Jacobians + shallow row tails.
+    if E.analytic_jac_ok(spec, sess.assets):
+        def chain_ana(x):
+            def body(_, x):
+                def one(xi, oi):
+                    r, Jm = E.residual_jacobian(
+                        spec, sess.assets, sess.cameras, oi, weights,
+                        sess.vposer, sess.gmm, xi)
+                    Jm = Jm * mask[None, :]
+                    return Jm.T @ Jm, Jm.T @ r
+                JtJ, g = jax.vmap(one)(x, obs)
+                return x + 0.0 * g * jnp.mean(JtJ)
+            return jax.lax.fori_loop(0, K, body, x)
+        out["analytic_rJ_us"] = timed("analytic r+J+JtJ", chain_ana, x0)
+
+        def chain_step_ana(x):
+            def body(_, x):
+                def one(xi, oi):
+                    r, Jm = E.residual_jacobian(
+                        spec, sess.assets, sess.cameras, oi, weights,
+                        sess.vposer, sess.gmm, xi)
+                    Jm = Jm * mask[None, :]
+                    JtJ, g = Jm.T @ Jm, Jm.T @ r
+                    diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
+                    A = JtJ + 1e-3 * jnp.diag(diag) + 1e-12 * eye
+                    dx = -_solve_spd(A, g, cfg.lm.linsolve,
+                                     cfg.lm.schulz_iters) * mask
+                    xn = xi + dx
+                    rn = res1(xn, oi)
+                    ok = jnp.sum(rn * rn) < jnp.sum(r * r)
+                    return jnp.where(ok, xn, xi)
+                return jax.vmap(one)(x, obs)
+            return jax.lax.fori_loop(0, K, body, x)
+        out["full_classic_step_analytic_us"] = timed(
+            "full_classic_step[analytic]", chain_step_ana, x0)
+
+        # split: decoder Jacobian / joint Jacobian / shallow row tails
+        from mvsmplfitting_tpu.models import vposer as Vp
+        from mvsmplfitting_tpu.models.joint_jac import joint_jacobian
+
+        def chain_decjac(z):
+            def body(_, z):
+                bp, D = jax.vmap(
+                    lambda zi: Vp.decode_jac(sess.vposer, zi))(z)
+                return z * (1.0 + 0.0 * (jnp.mean(D) + jnp.mean(bp)))
+            return jax.lax.fori_loop(0, K, body, z)
+        out["ana_decode_jac_us"] = timed("ana decode_jac", chain_decjac,
+                                         x0[:, :32])
+
+        def chain_jjac(x):
+            def body(_, x):
+                def one(xi, oi):
+                    params, z = E.unpack(spec, xi)
+                    bp = Vp.decode(sess.vposer, z)
+                    j, blk = joint_jacobian(sess.assets.joint_model,
+                                            params, bp)
+                    return jnp.sum(j) + sum(jnp.sum(v)
+                                            for v in blk.values())
+                s = jax.vmap(one)(x, obs)
+                return x * (1.0 + 0.0 * jnp.mean(s))
+            return jax.lax.fori_loop(0, K, body, x)
+        out["ana_joint_jac_us"] = timed("ana joint_jacobian", chain_jjac,
+                                        x0)
+
+        def chain_rows(x):
+            def body(_, x):
+                def one(xi, oi):
+                    params, z = E.unpack(spec, xi)
+                    bp = Vp.decode(sess.vposer, z)
+                    from mvsmplfitting_tpu.models.joint_model import (
+                        joint_forward)
+                    j = joint_forward(sess.assets.joint_model, params,
+                                      bp)
+                    r, lin = jax.linearize(
+                        lambda q: E._data_rows_from_joints(
+                            spec, sess.cameras, oi, weights, q), j)
+                    Jd = jax.vmap(lin)(
+                        jnp.zeros((n,) + j.shape, xi.dtype) + xi[0] * 0)
+                    return jnp.sum(Jd) + jnp.sum(r)
+                s = jax.vmap(one)(x, obs)
+                return x * (1.0 + 0.0 * jnp.mean(s))
+            return jax.lax.fori_loop(0, K, body, x)
+        out["ana_data_rows_us"] = timed("ana data-rows lin", chain_rows,
+                                        x0)
+
     # (d) one full classic-LM step equivalent (lin + solve + trial)
     def chain_step(x):
         def body(_, x):

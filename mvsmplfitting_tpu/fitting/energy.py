@@ -478,6 +478,30 @@ def residual_jacobian(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
     vs `jax.linearize` of `residuals` is tested in
     `tests/test_joint_jac.py`.
     """
+    (joints, djoints, z_in, dz, body_pose, dbp, betas, dbe) = \
+        _analytic_core(spec, assets, vposer_w, x)
+
+    # All residual rows as ONE shallow graph in (joints, z, body_pose,
+    # betas); its tangent columns are nearly free (+63 us for all 49 on
+    # chip) and a single graph avoids duplicating the row-op chain.
+    def rows(j, zz, bp, be):
+        return jnp.concatenate([
+            _data_rows_from_joints(spec, cam, obs, weights, j),
+            _prior_rows_core(spec, weights, gmm, zz, bp, be)])
+
+    r, lin = jax.linearize(rows, joints, z_in, body_pose, betas)
+    J = jax.vmap(lin)(djoints, dz, dbp, dbe).T             # (m, n)
+    return r, J
+
+
+def _analytic_core(spec: EnergySpec, assets: SMPLAssets,
+                   vposer_w, x: jnp.ndarray):
+    """Deep (view-independent) half of the analytic Jacobian: the
+    mapped joints, their packed-column tangents, and the tangent inputs
+    of the shallow row maps.  Shared by `residual_jacobian` and the
+    camera-sharded solver (`parallel/camera_shard.py`), whose row maps
+    differ (local 2D rows + replicated prior/3D rows) but whose deep
+    blocks are identical and replicated."""
     from ..models.joint_jac import joint_jacobian
 
     n = x.shape[0]
@@ -504,18 +528,7 @@ def residual_jacobian(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
         block_cols, blk["betas"], blk["orient"], blk["transl"],
         blk["scale"]], axis=0)                             # (n, K, 3)
 
-    # All residual rows as ONE shallow graph in (joints, z, body_pose,
-    # betas); its tangent columns are nearly free (+63 us for all 49 on
-    # chip) and a single graph avoids duplicating the row-op chain.
     z_in = z if spec.use_vposer else jnp.zeros((1,), x.dtype)
-
-    def rows(j, zz, bp, be):
-        return jnp.concatenate([
-            _data_rows_from_joints(spec, cam, obs, weights, j),
-            _prior_rows_core(spec, weights, gmm, zz, bp, be)])
-
-    r, lin = jax.linearize(rows, joints, z_in, body_pose, params.betas)
-
     dz = jnp.zeros((n,) + z_in.shape, x.dtype)
     dbp = jnp.zeros((n, cp), x.dtype)
     if spec.use_vposer:
@@ -525,8 +538,7 @@ def residual_jacobian(spec: EnergySpec, assets: SMPLAssets, cam: Camera,
         dbp = dbp.at[:p].set(jnp.eye(p, dtype=x.dtype)[:, :cp])
     dbe = jnp.zeros((n, nb), x.dtype).at[p:p + nb].set(
         jnp.eye(nb, dtype=x.dtype))
-    J = jax.vmap(lin)(djoints, dz, dbp, dbe).T             # (m, n)
-    return r, J
+    return joints, djoints, z_in, dz, body_pose, dbp, params.betas, dbe
 
 
 def reprojection_error_px(spec: EnergySpec, assets: SMPLAssets, cam: Camera,

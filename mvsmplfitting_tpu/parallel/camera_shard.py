@@ -79,15 +79,52 @@ def _lm_sharded(cfg: FitConfig, assets, vposer_w, gmm,
         return (jax.lax.psum(jnp.sum(rd * rd), CAMERAS_AXIS) +
                 jnp.sum(rp * rp))
 
+    use_analytic = (opts.jac == "analytic"
+                    and E.analytic_jac_ok(spec, assets)
+                    and not spec.interpenetration)
+
+    def analytic_rJ(x):
+        """(r, J) pairs for the local 2D rows and the replicated
+        prior/3D rows — deep blocks via the closed-form chain/decoder
+        Jacobians (`energy._analytic_core`), replicated per shard like
+        the solve; only the cheap shallow row tails differ per shard."""
+        (joints, djoints, z_in, dz, body_pose, dbp, betas, dbe) = \
+            E._analytic_core(spec, assets, vposer_w, x)
+
+        rd, lin_d = jax.linearize(
+            lambda j: E._data_rows_from_joints(
+                spec, cam_l, obs_l, weights, j, include_3d=False),
+            joints)
+        Jd = jax.vmap(lin_d)(djoints).T
+
+        def prior_rows(j, zz, bp, be):
+            rows = [E._prior_rows_core(spec, weights, gmm, zz, bp, be)]
+            if spec.use_3d and obs_l.gt3d is not None:
+                w3 = obs_l.conf3d[:, None] * weights.data
+                from ..ops.robust import gmof_residual
+                rows.append((w3 * gmof_residual(obs_l.gt3d - j,
+                                                spec.rho)).reshape(-1))
+            return jnp.concatenate(rows)
+
+        rp, lin_p = jax.linearize(prior_rows, joints, z_in, body_pose,
+                                  betas)
+        Jp = jax.vmap(lin_p)(djoints, dz, dbp, dbe).T
+        return rd, Jd, rp, Jp
+
     def step(state):
         x, loss, lam, it, done = state
-        rd, lin_d = jax.linearize(data_res, x)
-        Jd = jax.vmap(lin_d)(eye).T * mask[None, :]
+        if use_analytic:
+            rd, Jd, rp, Jp = analytic_rJ(x)
+            Jd = Jd * mask[None, :]
+            Jp = Jp * mask[None, :]
+        else:
+            rd, lin_d = jax.linearize(data_res, x)
+            Jd = jax.vmap(lin_d)(eye).T * mask[None, :]
+            rp, lin_p = jax.linearize(prior_res, x)
+            Jp = jax.vmap(lin_p)(eye).T * mask[None, :]
         blocks = (Jd.T @ Jd, Jd.T @ rd)
         JtJ_d, g_d = jax.lax.psum(blocks, CAMERAS_AXIS)
 
-        rp, lin_p = jax.linearize(prior_res, x)
-        Jp = jax.vmap(lin_p)(eye).T * mask[None, :]
         JtJ = JtJ_d + Jp.T @ Jp
         g = g_d + Jp.T @ rp
 

@@ -109,6 +109,29 @@ class TestCameraSharding:
         np.testing.assert_allclose(np.asarray(x_sharded[0]),
                                    np.asarray(x_single), atol=5e-2)
 
+    def test_analytic_jacobian_matches_ad_sharded(self, vposer_w, rng):
+        """Camera-sharded LM with the closed-form Jacobian blocks
+        (energy._analytic_core pushed through the local/replicated row
+        tails) must reproduce the AD-Jacobian sharded fit."""
+        from mvsmplfitting_tpu.models.joint_model import with_joint_model
+        assets = with_joint_model(synthetic_smpl())
+        cam, obs, true, _ = make_problem(assets, vposer_w, rng)
+        B = 4
+        mesh = make_mesh(MeshLayout(frames=2, cameras=2),
+                         devices=jax.devices()[:4])
+        obs_b = _broadcast(obs, B)
+
+        losses = {}
+        for jac in ("ad", "analytic"):
+            cfg = FitConfig(lm=LMOptions(max_iters=8, jac=jac),
+                            pose_weights=(57.4,), shape_weights=(10.0,),
+                            coll_weights=(0.0,))
+            _, losses[jac] = camera_sharded_fit(
+                cfg, assets, cam, obs_b, mesh, vposer_w=vposer_w,
+                img_height=1080.0)
+        np.testing.assert_allclose(np.asarray(losses["analytic"]),
+                                   np.asarray(losses["ad"]), rtol=1e-3)
+
     def test_scan_stages_and_dynamic_cap_match_unrolled(
             self, assets, vposer_w, rng):
         """The dryrun path (stages as one lax.scan + traced iteration

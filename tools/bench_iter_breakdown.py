@@ -55,7 +55,12 @@ def main():
         np.random.default_rng(0).normal(0, 0.05, (n,)), jnp.float32),
         (batch, 1))
 
+    import os
+    only = os.environ.get("MVSF_BREAKDOWN_ONLY", "")
+
     def timed(name, chained_fn, carry0, work_per_step=1):
+        if only and only not in name:
+            return None
         f = jax.jit(chained_fn)
         out = f(carry0)
         jax.block_until_ready(out)

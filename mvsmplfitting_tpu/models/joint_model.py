@@ -51,6 +51,12 @@ class JointModel:
     JB: jnp.ndarray        # (24, 3, NB) rest-joint shape basis
     chain_idx: jnp.ndarray  # (K,) int32: source chain joint or -1
     chain_mask: jnp.ndarray  # (K,) 1.0 where chain-derived
+    # Fused linear fold: one (J*3 + K*J*3, NB + 207) basis applied to
+    # [betas; posefeat] replaces the three separate JB/Hb/Hp
+    # contractions — on chip each small dot_general is its own ~50us
+    # kernel (tripled in the AD tangent graph), so primal dot count is
+    # the cost model (docs/BENCH_NOTES.md r4).
+    fold: Optional[jnp.ndarray] = None  # (J*3 + K*J*3, NB + 207)
     # SMPL-X expression fold (None otherwise): same algebra as Hb/JB
     # over expr_dirs.
     He: Optional[jnp.ndarray] = None  # (K, J, 3, NE)
@@ -113,6 +119,13 @@ def build_joint_model(assets: SMPLAssets) -> JointModel:
     j0 = JR @ vt                                          # (J, 3)
     JB = np.einsum("jv,vcb->jcb", JR, S)                  # (J, 3, NB)
 
+    nj3 = nj * 3
+    P9 = Hp.shape[-1]
+    fold = np.zeros((nj3 + K * nj3, NB + P9), np.float32)
+    fold[:nj3, :NB] = JB.reshape(nj3, NB)
+    fold[nj3:, :NB] = Hb.reshape(K * nj3, NB)
+    fold[nj3:, NB:] = Hp.reshape(K * nj3, P9)
+
     He = JE = None
     if assets.expr_dirs is not None:
         Ed = np.asarray(assets.expr_dirs)                 # (V, 3, NE)
@@ -121,6 +134,7 @@ def build_joint_model(assets: SMPLAssets) -> JointModel:
 
     return JointModel(
         H0=jnp.asarray(H0), Hb=jnp.asarray(Hb), Hp=jnp.asarray(Hp),
+        fold=jnp.asarray(fold),
         j0=jnp.asarray(j0), JB=jnp.asarray(JB),
         chain_idx=jnp.asarray(np.maximum(chain_idx, 0)),
         chain_mask=jnp.asarray(chain_mask),
@@ -151,25 +165,36 @@ def joint_forward(jm: JointModel, params: SMPLParams,
 
     dtype = jm.H0.dtype
     betas = params.betas.astype(dtype)
-    j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
+    K = jm.H0.shape[0]
+    ident = jnp.eye(3, dtype=dtype)
 
-    shape_off = jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
+    rot_mats = rodrigues(full_pose.reshape(J, 3))
+    pf = (rot_mats[1:] - ident).reshape(-1)               # (207,)
+
+    if jm.fold is not None:
+        # One fused dot for the three linear folds (JB/Hb/Hp) — on chip
+        # every small dot_general is its own ~50us kernel (tripled in
+        # the AD tangent graph), so primal dot count is the cost model
+        # (docs/BENCH_NOTES.md r4).
+        v = jm.fold @ jnp.concatenate([betas, pf])
+        j_rest = jm.j0 + v[:J * 3].reshape(J, 3)
+        off = v[J * 3:].reshape(K, J, 3)
+    else:
+        j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
+        off = (jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
+               + jnp.einsum("kjcp,p->kjc", jm.Hp, pf))
+
     if params.expression is not None and jm.He is not None:
         expr = params.expression.astype(dtype)
         j_rest = j_rest + jnp.einsum("jce,e->jc", jm.JE, expr)
-        shape_off = shape_off + jnp.einsum("kjce,e->kjc", jm.He, expr)
+        off = off + jnp.einsum("kjce,e->kjc", jm.He, expr)
 
-    rot_mats = rodrigues(full_pose.reshape(J, 3))
     posed_joints, A = _rigid_chain(rot_mats, j_rest, jm.parents,
                                    params.scale)
 
-    ident = jnp.eye(3, dtype=dtype)
-    pf = (rot_mats[1:] - ident).reshape(-1)               # (207,)
-
     H = (jm.H0
          + jnp.concatenate(
-             [shape_off + jnp.einsum("kjcp,p->kjc", jm.Hp, pf),
-              jnp.zeros(jm.H0.shape[:2] + (1,), dtype)], axis=-1))
+             [off, jnp.zeros(jm.H0.shape[:2] + (1,), dtype)], axis=-1))
 
     vert_joints = jnp.einsum("jab,kjb->ka", A[:, :3, :4], H)
     chain_joints = posed_joints[jm.chain_idx]

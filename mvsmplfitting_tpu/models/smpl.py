@@ -191,22 +191,36 @@ def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     T = transform_mat(rot_mats, rel)  # (J, 4, 4)
     root = T[0].at[:3, :3].multiply(scale)
 
-    # Level-batched tree composition: joints grouped by depth, one
-    # batched (n,4,4)@(n,4,4) matmul per level.  Same multiplication
-    # order as the reference's sequential parent chain
-    # (`lbs.py:350-355`), but the op count drops from J-1 tiny matmuls
-    # to tree-depth (~8 for SMPL) batched ones — the 24-step chain is
-    # the latency-critical path of every Jacobian column.
+    # Pointer-jumping tree composition: P_k[j] holds the product of the
+    # local transforms along the 2^k-ancestor path segment ending at j
+    # (the full W_j once the segment reaches the root), and ptr_k[j]
+    # jumps 2^k ancestors at a time.  ceil(log2(depth)) batched
+    # (J,4,4)@(J,4,4) matmuls with STATIC gathers replace the
+    # depth-many level matmuls + scatters of the naive form — on chip
+    # every small dot_general is a separate ~50us kernel regardless of
+    # its size, so halving the dot count (8 levels -> 3 jumps for
+    # SMPL's depth-8 tree, each tripled in the AD tangent graph) is
+    # worth far more than any per-dot tuning (docs/BENCH_NOTES.md r4).
+    # Multiplication grouping changes; the product is associatively
+    # identical (fp32 spread vs the sequential chain ~1e-7 rel, same
+    # class as the documented fori/while contraction spread).
     J = len(parents)
     depth = [0] * J
     for i in range(1, J):
         depth[i] = depth[parents[i]] + 1
-    transforms = jnp.zeros((J, 4, 4), T.dtype).at[0].set(root)
-    for lvl in range(1, max(depth) + 1):
-        idxs = np.asarray([i for i in range(1, J) if depth[i] == lvl])
-        pidx = np.asarray([parents[i] for i in idxs])
-        new_T = jnp.einsum("nab,nbc->nac", transforms[pidx], T[idxs])
-        transforms = transforms.at[idxs].set(new_T)
+    transforms = T.at[0].set(root)
+    ptr = np.asarray(parents, np.int64)
+    ptr[0] = 0
+    done = np.zeros(J, bool)
+    done[0] = True
+    steps = max(1, int(np.ceil(np.log2(max(max(depth), 1) + 1))))
+    for _ in range(steps):
+        if done.all():
+            break
+        gathered = jnp.einsum("jab,jbc->jac", transforms[ptr], transforms)
+        transforms = jnp.where(done[:, None, None], transforms, gathered)
+        done = done | done[ptr]
+        ptr = ptr[ptr]
 
     posed_joints = transforms[:, :3, 3]
     # Relative-to-rest transforms for skinning: subtract the transform of

@@ -131,10 +131,17 @@ def build_session(cfg: Config) -> Session:
         # Production fast path (measured on-chip, real demo data):
         # Newton-Schulz normal equations + speculative single-eval
         # iterations = 1.9x the LU/classic throughput at equal final
-        # energies (docs/BENCH_NOTES.md round 2).
+        # energies (docs/BENCH_NOTES.md round 2), and the closed-form
+        # Jacobian (round 4: analytic classic step 2.40 ms vs AD 2.81
+        # ms in-run at B=128 after the pointer-jumping chain + fused
+        # fold; identical stage losses).  `MVSF_LM_JAC=ad` reverts for
+        # A/B measurement; stages with active collision rows and
+        # SMPL-H/X tails fall back to AD automatically
+        # (`energy.analytic_jac_ok`).
         lm=LMOptions(max_iters=max(60, cfg.maxiters * 2),
                      ftol=cfg.ftol, gtol=cfg.gtol,
-                     linsolve="schulz", speculative=True),
+                     linsolve="schulz", speculative=True,
+                     jac=os.environ.get("MVSF_LM_JAC", "analytic")),
         lbfgs=LBFGSOptions(max_iters=cfg.maxiters * 4, lr=cfg.lr,
                            ftol=cfg.ftol, gtol=cfg.gtol),
         grad=GradientOptions(optim_type=solver if solver in

@@ -95,8 +95,19 @@ def joint_jacobian(jm: JointModel, params: SMPLParams,
     scale = params.scale.astype(dtype)
 
     # --- primal chain (shared code path with joint_forward) ---
-    j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
     R = rodrigues(theta)                                   # (J, 3, 3)
+    eye3_ = jnp.eye(3, dtype=dtype)
+    pf = (R[1:] - eye3_).reshape(-1)                       # (9(J-1),)
+    if jm.fold is not None:
+        # Same fused fold dot as joint_forward (dot count is the chip
+        # cost model — BENCH_NOTES r4).
+        v = jm.fold @ jnp.concatenate([betas, pf])
+        j_rest = jm.j0 + v[:J * 3].reshape(J, 3)
+        h_off = v[J * 3:].reshape(-1, J, 3)
+    else:
+        j_rest = jm.j0 + jnp.einsum("jcb,b->jc", jm.JB, betas)
+        h_off = (jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
+                 + jnp.einsum("kjcp,p->kjc", jm.Hp, pf))
     p, A = _rigid_chain(R, j_rest, parents, scale)
     Rw = A[:, :3, :3]                                      # world rot (scaled)
     tw = p                                                 # world transl
@@ -132,18 +143,18 @@ def joint_jacobian(jm: JointModel, params: SMPLParams,
                 + G_t.transpose(0, 2, 1)[:, :, None, :]) * \
         anc[:, None, :, None]                              # (l,A,j,3)
 
-    # betas: translation-only generators, drel from the rest-shape basis
-    drel = jm.JB.at[1:].add(-jm.JB[par[1:]])               # (J,3,NB)
-    dtw_b = jnp.einsum("lj,lab,lbB->jaB", anc, Rp, drel)   # (j,3,NB)
+    # betas: translation-only generators, drel from the rest-shape basis.
+    # anc/drel are constants — contract them FIRST so XLA constant-folds
+    # that einsum at compile time and only ONE runtime dot remains.
+    drel = jm.JB.at[1:].add(-jm.JB[par[1:]])               # (J,3,NB) const
+    anc_drel = jnp.einsum("lj,lbB->ljbB", anc, drel)       # const-folded
+    dtw_b = jnp.einsum("lab,ljbB->jaB", Rp, anc_drel)      # (j,3,NB)
 
     # scale: dW_j/ds = [I/s, -rel_0/s] . W_j  =>  dp_j = (p_j - rel_0)/s
     dp_s = (p - rel[0][None, :]) / scale                   # (j,3)
 
     # --- vertex-regressed joint rows ---
-    pf = (R[1:] - eye3).reshape(-1)                        # (9(J-1),)
-    h = (jm.H0[..., :3]
-         + jnp.einsum("kjcb,b->kjc", jm.Hb, betas)
-         + jnp.einsum("kjcp,p->kjc", jm.Hp, pf))           # (K,J,3)
+    h = jm.H0[..., :3] + h_off                             # (K,J,3)
     w = jm.H0[..., 3]                                      # (K,J) const
     q = h - w[..., None] * j_rest[None]                    # (K,J,3)
     contrib = (jnp.einsum("jab,kjb->kja", Rw, q)
@@ -163,10 +174,12 @@ def joint_jacobian(jm: JointModel, params: SMPLParams,
     dv_pc = jnp.einsum("kalq,lqA->lAka", P9, dR9[1:])      # (l-1,A,K,3)
     dv_theta = dv_theta.at[1:].add(dv_pc)
 
-    # betas / scale
-    dv_b = (jnp.einsum("jab,kjbB->kaB", Rw, jm.Hb)
-            - jnp.einsum("kj,jab,jbB->kaB", w, Rw, jm.JB)
-            + jnp.einsum("kl,lab,lbB->kaB", u, Rp, drel))  # (K,3,NB)
+    # betas / scale: reassociate so every const x const contraction
+    # folds at compile time — three runtime dots collapse to two.
+    HbW = jm.Hb - jnp.einsum("kj,jbB->kjbB", w, jm.JB)     # const-folded
+    u_drel = jnp.einsum("kl,lbB->klbB", u, drel)           # const-folded
+    dv_b = (jnp.einsum("jab,kjbB->kaB", Rw, HbW)
+            + jnp.einsum("lab,klbB->kaB", Rp, u_drel))     # (K,3,NB)
     Wk = jnp.sum(w, axis=1)                                # (K,)
     dv_s = (v_pre - Wk[:, None] * rel[0][None]) / scale    # (K,3)
 

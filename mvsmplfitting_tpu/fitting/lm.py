@@ -59,13 +59,15 @@ class LMOptions:
     # row/column-scaled systems (rel err ~1 at cond 1e5+ with mixed
     # parameter scales).
     schulz_iters: int = struct.field(pytree_node=False, default=12)
-    # Jacobian mode: "ad" (jax.linearize + n vmapped JVP columns) or
-    # "analytic" (closed-form chain generators + decoder composition,
-    # `energy.residual_jacobian` — used when the energy qualifies, see
-    # `energy.analytic_jac_ok`; callers fall back to "ad" otherwise).
-    # The AD tangent graph is 97% of the linearize cost on chip
-    # (docs/BENCH_NOTES.md r4).
-    jac: str = struct.field(pytree_node=False, default="ad")
+    # Jacobian mode: "analytic" (closed-form chain generators + decoder
+    # composition, `energy.residual_jacobian` — used when the energy
+    # qualifies, see `energy.analytic_jac_ok`; callers fall back to
+    # "ad" per stage otherwise) or "ad" (jax.linearize + n vmapped JVP
+    # columns).  Chip r4: analytic classic step 1.82 ms vs AD 4.48 ms
+    # at B=128 after the elementwise-chain rewrites; exactness vs AD is
+    # tested, and `MVSF_LM_JAC=ad` flips the session default back for
+    # A/B (docs/BENCH_NOTES.md r4).
+    jac: str = struct.field(pytree_node=False, default="analytic")
 
 
 def _solve_spd(A: jnp.ndarray, b: jnp.ndarray, method: str,

@@ -60,7 +60,14 @@ def project_points(cam: Camera, points: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (V, ..., 2) pixel coordinates per view.
     """
-    cam_pts = (jnp.einsum("vab,...b->v...a", cam.rotation, points)
+    # Unrolled 3-term multiply-add instead of einsum: a batched tiny
+    # dot_general is a separate kernel on chip while elementwise chains
+    # fuse into the surrounding graph (docs/BENCH_NOTES.md r4) — this
+    # projection sits inside every residual/Jacobian evaluation.
+    rot = cam.rotation.reshape(
+        (cam.num_views,) + (1,) * (points.ndim - 1) + (3, 3))
+    cam_pts = (sum(rot[..., b] * points[None, ..., b, None]
+                   for b in range(3))
                + cam.translation.reshape(
                    (cam.num_views,) + (1,) * (points.ndim - 1) + (3,)))
     xy = cam_pts[..., :2] / cam_pts[..., 2:3]

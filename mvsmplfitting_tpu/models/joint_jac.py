@@ -130,17 +130,31 @@ def joint_jacobian(jm: JointModel, params: SMPLParams,
     # dR by AD of the shared rodrigues (keeps the +1e-8 quirk's true
     # derivative); (J, 3, 3, 3) with the last axis the input component.
     dR = jax.vmap(jax.jacfwd(rodrigues))(theta)
-    Kg = jnp.einsum("lrcA,lsc->lrsA", dR, R)               # dR^A . R^T
-    G_rot = jnp.einsum("lib,lbcA,lcj->lijA",
-                       Rp, Kg, Rpinv)                      # -> (l,3,3,A)
-    # translation part: -G_rot . tw_parent - Rp . K . rel
-    G_t = (-jnp.einsum("ladA,ld->laA", G_rot, twp)
-           - jnp.einsum("lab,lbcA,lc->laA", Rp, Kg, rel))  # (l,3,a)
+    # All 3-wide contractions below are unrolled multiply-adds instead
+    # of einsums: on chip each (batched) tiny dot_general is a separate
+    # ~50-70us kernel, while broadcast elementwise chains FUSE (the r4
+    # cost model, docs/BENCH_NOTES.md).
+    # Kg = dR^A . R^T                                        (l,r,s,A)
+    Kg = sum(dR[:, :, None, c, :] * R[:, None, :, c, None]
+             for c in range(3))
+    G1 = sum(Rp[:, :, b, None, None] * Kg[:, None, b, :, :]
+             for b in range(3))                            # Rp.Kg (l,i,c,A)
+    G_rot = sum(G1[:, :, c, None, :] * Rpinv[:, None, c, :, None]
+                for c in range(3))                         # (l,3,3,A)
+    # translation part: -G_rot . tw_parent - (Rp.Kg) . rel    (l,3,A)
+    G_t = -(sum(G_rot[:, :, d, :] * twp[:, None, d, None]
+                for d in range(3))
+            + sum(G1[:, :, c, :] * rel[:, None, c, None]
+                  for c in range(3)))
+
+    GrT = G_rot.transpose(0, 3, 1, 2)                      # (l,A,a,d)
+    GtT = G_t.transpose(0, 2, 1)                           # (l,A,a)
 
     # --- chain-joint derivatives dp_j (for chain-derived slots) ---
     # dp[l,A,j,:] = anc(l,j) (G_rot p_j + G_t)
-    dp_theta = (jnp.einsum("ladA,jd->lAja", G_rot, p)
-                + G_t.transpose(0, 2, 1)[:, :, None, :]) * \
+    dp_theta = (sum(GrT[:, :, None, :, d] * p[None, None, :, None, d]
+                    for d in range(3))
+                + GtT[:, :, None, :]) * \
         anc[:, None, :, None]                              # (l,A,j,3)
 
     # betas: translation-only generators, drel from the rest-shape basis.
@@ -157,17 +171,20 @@ def joint_jacobian(jm: JointModel, params: SMPLParams,
     h = jm.H0[..., :3] + h_off                             # (K,J,3)
     w = jm.H0[..., 3]                                      # (K,J) const
     q = h - w[..., None] * j_rest[None]                    # (K,J,3)
-    contrib = (jnp.einsum("jab,kjb->kja", Rw, q)
+    contrib = (sum(Rw[None, :, :, b] * q[:, :, None, b]
+                   for b in range(3))
                + w[..., None] * tw[None])                  # (K,J,3)
     v_pre = jnp.sum(contrib, axis=1)                       # (K,3)
 
     Y = jnp.einsum("lj,kja->kla", anc, contrib)            # (K,J,3)
-    u = jnp.einsum("lj,kj->kl", anc, w)                    # (K,J)
+    Yt = Y.transpose(1, 0, 2)                              # (l,K,3)
+    u = jnp.einsum("lj,kj->kl", anc, w)                    # (K,J) const
 
     # theta: rigid part + pose-corrective part
-    dv_theta = (jnp.einsum("ladA,kld->lAka", G_rot, Y)
+    dv_theta = (sum(GrT[:, :, None, :, d] * Yt[:, None, :, None, d]
+                    for d in range(3))
                 + u.transpose(1, 0)[:, None, :, None]
-                * G_t.transpose(0, 2, 1)[:, :, None, :])   # (l,A,K,3)
+                * GtT[:, :, None, :])                      # (l,A,K,3)
     P = jnp.einsum("jab,kjbp->kap", Rw, jm.Hp)             # (K,3,207)
     P9 = P.reshape(P.shape[0], 3, J - 1, 9)
     dR9 = dR.reshape(J, 9, 3)                              # row-major (r,c)

@@ -217,7 +217,14 @@ def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     for _ in range(steps):
         if done.all():
             break
-        gathered = jnp.einsum("jab,jbc->jac", transforms[ptr], transforms)
+        # Unrolled 4-term multiply-add instead of einsum: a (J,4,4)
+        # batched matmul is a separate ~50-70us dot_general kernel on
+        # chip, while broadcast elementwise ops FUSE with their
+        # neighbors (the r4 cost model) — and the AD tangent graph
+        # inherits the same fusion.
+        par_t = transforms[ptr]
+        gathered = sum(par_t[:, :, b, None] * transforms[:, None, b, :]
+                       for b in range(4))
         transforms = jnp.where(done[:, None, None], transforms, gathered)
         done = done | done[ptr]
         ptr = ptr[ptr]
@@ -225,7 +232,8 @@ def _rigid_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     posed_joints = transforms[:, :3, 3]
     # Relative-to-rest transforms for skinning: subtract the transform of
     # the rest joint location (only affects the translation column).
-    correction = jnp.einsum("jab,jb->ja", transforms[:, :3, :3], joints)
+    correction = sum(transforms[:, :3, b] * joints[:, None, b]
+                     for b in range(3))
     A = transforms.at[:, :3, 3].add(-correction)
     return posed_joints, A
 

@@ -31,7 +31,11 @@ def setup(rng=None):
     cam = make_cameras()
 
     obs_list = []
-    for dx in (-0.25, 0.25):   # two people close together
+    # Two people close enough that their TRUE bodies interpenetrate —
+    # the collision tests' premise must hold for any solver trajectory
+    # (at +-0.25 the r4 analytic-Jacobian solo fits happened to land
+    # just clear of each other).
+    for dx in (-0.2, 0.2):
         z = jnp.asarray(0.2 * rng.standard_normal(32), jnp.float32)
         true = SMPLParams(
             betas=jnp.asarray(0.3 * rng.standard_normal(10),
@@ -66,7 +70,7 @@ class TestMultiPerson:
         # Two distinct people recovered at distinct positions.
         dx = float(results.params.transl[1, 0] -
                    results.params.transl[0, 0])
-        assert 0.3 < dx < 0.7
+        assert 0.2 < dx < 0.6   # truth separation is 0.4 (setup dx=+-0.2)
 
     def test_collision_refinement_runs(self, setup):
         assets, vw, cam, obs_people = setup

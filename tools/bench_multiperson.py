@@ -96,7 +96,11 @@ def main():
     # Pallas voxelizer on the chip; jnp oracle on CPU smoke runs.
     spec = EnergySpec(interpenetration=True, coll_grid_size=grid,
                       use_pallas_sdf=jax.default_backend() != "cpu")
-    cfg = FitConfig(spec=spec)    # full default 4-stage schedule
+    # Full default 4-stage schedule; MVSF_LM_JAC=ad A/Bs the Jacobian
+    # mode like the session driver does.
+    from mvsmplfitting_tpu.fitting.lm import LMOptions
+    cfg = FitConfig(spec=spec, lm=LMOptions(
+        jac=os.environ.get("MVSF_LM_JAC", "analytic")))
 
     import functools
 

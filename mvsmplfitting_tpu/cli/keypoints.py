@@ -45,6 +45,11 @@ def main(argv=None) -> int:
     p.add_argument("--det_thresh", type=float, default=0.1)
     p.add_argument("--pose_model", default="fastpose",
                    help="pose zoo net (detect/zoo.py)")
+    p.add_argument("--pose_cfg", default=None,
+                   help="AlphaPose model-config YAML (the reference's "
+                        "configs/**/*.yaml, accepted verbatim — "
+                        "detect/config.py); overrides --pose_model/"
+                        "--num_joints")
     p.add_argument("--num_joints", type=int, default=26)
     p.add_argument("--flip_test", action="store_true",
                    help="mirrored-batch heatmap ensembling")
@@ -103,22 +108,28 @@ def main(argv=None) -> int:
         print(f"Processed {n} frame(s) in {time.time() - start:.2f}s")
         return 0
 
+    if args.pose_cfg:
+        from ..detect.config import (estimator_kwargs_from_config,
+                                     model_spec_from_config)
+        est_kw = estimator_kwargs_from_config(args.pose_cfg)
+        pose_zoo_name = model_spec_from_config(args.pose_cfg)[0]
+    else:
+        est_kw = {"num_joints": args.num_joints,
+                  "model": build_pose_model(args.pose_model,
+                                            args.num_joints)}
+        pose_zoo_name = args.pose_model.lower().replace("-", "_")
     pose_params = None
     if args.pose_ckpt:
         from ..detect.convert import POSE_CONVERTERS
-        key = args.pose_model.lower().replace("-", "_")
-        pose_params = POSE_CONVERTERS[key](args.pose_ckpt)
+        pose_params = POSE_CONVERTERS[pose_zoo_name](args.pose_ckpt)
+    if args.format:
+        est_kw["joint_pairs"] = flip_pairs_for(
+            est_kw["num_joints"], args.format)
     pipeline = KeypointPipeline(
         detector,
-        PoseEstimator(pose_params, num_joints=args.num_joints,
-                      model=build_pose_model(args.pose_model,
-                                             args.num_joints),
-                      flip_test=args.flip_test,
+        PoseEstimator(pose_params, flip_test=args.flip_test,
                       use_pose_nms=args.pose_nms,
-                      compute_dtype=dtype,
-                      **({"joint_pairs": flip_pairs_for(
-                          args.num_joints, args.format)}
-                         if args.format else {})))
+                      compute_dtype=dtype, **est_kw))
 
     if args.video is not None:
         from ..detect.stream import parse_source, run_stream

@@ -45,13 +45,20 @@ class LMOptions:
     # latency-bound per-iteration graph ~1/3 (the trial evaluation
     # disappears); acceptance decisions can differ from classic LM, so
     # convergence is validated end-to-end rather than bitwise.
-    speculative: bool = struct.field(pytree_node=False, default=False)
+    # Default ON: chip-validated at +36% over classic/chol at equal
+    # final energies (BENCH_NOTES r3 solver table); exactness-anchored
+    # tests pin speculative=False explicitly.  `fit_people` forces it
+    # off internally (stiff collision refinement degrades under
+    # speculative judging — multi_person.py:182-186).
+    speculative: bool = struct.field(pytree_node=False, default=True)
     # Normal-equation solver: "lu" (jnp.linalg.solve), "chol"
     # (Cholesky — A is SPD by construction; measured +37% fit
     # throughput on the chip vs LU's sequential lowering), or
     # "schulz" (Newton-Schulz iterated inverse: pure batched matmuls,
-    # no sequential triangular loops — +79% on the chip).
-    linsolve: str = struct.field(pytree_node=False, default="chol")
+    # no sequential triangular loops — +79% on the chip).  Default
+    # "schulz" = the production path (chip r3: 395 fps vs chol 259 at
+    # +0.64% loss); tests keep "chol" as the exactness anchor.
+    linsolve: str = struct.field(pytree_node=False, default="schulz")
     # Newton-Schulz iteration count.  With Jacobi preconditioning and
     # the I/||A~||_1 init, 12 reaches fp32 round-off for cond(A~) up to
     # ~1e7 (measured); the earlier unpreconditioned A^T/(||A||_1
@@ -251,10 +258,11 @@ def _lm_fit_speculative(res, make_aux, x0, mask, opts: LMOptions, eye,
 
     def step(state):
         x, x_prev, f_prev, lam, it, done, moved = state
-        aux = make_aux(x)
         if jac_fn is not None:
+            # lm_fit guarantees aux_fn is None here — no aux to build.
             r, J = jac_fn(x)
         else:
+            aux = make_aux(x)
             r, lin = jax.linearize(lambda v: res(v, aux), x)
             J = jax.vmap(lin)(eye).T
         f = jnp.sum(r * r)

@@ -128,19 +128,15 @@ def build_session(cfg: Config) -> Session:
         pose_weights=tuple(cfg.body_pose_prior_weights),
         shape_weights=tuple(cfg.shape_weights),
         coll_weights=tuple(cfg.coll_loss_weights),
-        # Production fast path (measured on-chip, real demo data):
-        # Newton-Schulz normal equations + speculative single-eval
-        # iterations = 1.9x the LU/classic throughput at equal final
-        # energies (docs/BENCH_NOTES.md round 2), and the closed-form
-        # Jacobian (round 4: analytic classic step 2.40 ms vs AD 2.81
-        # ms in-run at B=128 after the pointer-jumping chain + fused
-        # fold; identical stage losses).  `MVSF_LM_JAC=ad` reverts for
-        # A/B measurement; stages with active collision rows and
-        # SMPL-H/X tails fall back to AD automatically
-        # (`energy.analytic_jac_ok`).
+        # Chip-validated production path (docs/BENCH_NOTES.md r2-r4):
+        # Newton-Schulz + speculative + analytic Jacobian — since r5
+        # these ARE the LMOptions library defaults (one default story;
+        # exactness tests pin chol/classic/ad explicitly).
+        # `MVSF_LM_JAC=ad` reverts the Jacobian for A/B measurement;
+        # stages with active collision rows and SMPL-H/X tails fall
+        # back to AD automatically (`energy.analytic_jac_ok`).
         lm=LMOptions(max_iters=max(60, cfg.maxiters * 2),
                      ftol=cfg.ftol, gtol=cfg.gtol,
-                     linsolve="schulz", speculative=True,
                      jac=os.environ.get("MVSF_LM_JAC", "analytic")),
         lbfgs=LBFGSOptions(max_iters=cfg.maxiters * 4, lr=cfg.lr,
                            ftol=cfg.ftol, gtol=cfg.gtol),

@@ -515,7 +515,25 @@ def _analytic_core(spec: EnergySpec, assets: SMPLAssets,
         body_pose = params.body_pose
         D_z = None
 
-    joints, blk = joint_jacobian(assets.joint_model, params, body_pose)
+    jm = assets.joint_model
+    from ..ops import joint_kernel
+    if joint_kernel.use_kernel() and joint_kernel.kernel_ok(jm):
+        # Fused Pallas path (ops/joint_kernel.py): under the production
+        # vmapped fit this collapses the ~15-einsum joint-Jacobian graph
+        # into ONE kernel over the whole batch; unbatched calls fall
+        # back to the XLA closed form inside the same wrapper.
+        need = (len(jm.parents) - 1) * 3
+        bp_full = body_pose
+        if bp_full.shape[-1] < need:
+            bp_full = jnp.concatenate(
+                [bp_full, jnp.zeros((need - bp_full.shape[-1],),
+                                    bp_full.dtype)])
+        theta = jnp.concatenate([params.global_orient, bp_full])
+        joints, blk = joint_kernel.make_joint_jacobian_auto(jm)(
+            theta, params.betas, params.scale)
+        joints = joints + params.transl
+    else:
+        joints, blk = joint_jacobian(jm, params, body_pose)
 
     # d joints / d x, one (K, 3) tangent per packed column, in the
     # pack() layout [pose block (p), betas, orient(3), transl(3), scale].

@@ -445,6 +445,25 @@ def main():
         pass
     detail["reference_cpu_fps_measured"] = round(REFERENCE_CPU_FPS, 4)
 
+    # --- multi-person + SDF (P=2 synthetic overlap, points engine) ---
+    # The headline multi-person claim belongs in the captured artifact,
+    # not just in self-reported notes (round-5 verdict ask #4).
+    if os.environ.get("MVSF_BENCH_MULTI", "1") != "0":
+        try:
+            detail["multi_person"] = _multi_person_detail()
+        except Exception as e:                   # pragma: no cover
+            detail["multi_person"] = {"error": str(e)[:200]}
+
+    # --- full-budget reference parity (CPU subprocesses) -------------
+    # The round-2..4 north-star claim, refreshed in the artifact every
+    # round instead of via the manual MVSF_FULL_BUDGET opt-in
+    # (round-5 verdict ask #8).
+    if os.environ.get("MVSF_BENCH_PARITY", "1") != "0":
+        try:
+            detail["parity_full_budget"] = _parity_full_budget()
+        except Exception as e:                   # pragma: no cover
+            detail["parity_full_budget"] = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "real_data_fit_throughput",
         "value": round(fps, 3),
@@ -452,6 +471,151 @@ def main():
         "vs_baseline": round(fps / REFERENCE_CPU_FPS, 1),
         "detail": detail,
     }))
+
+
+def _multi_person_detail(P=2):
+    """Chip-measured multi-person+SDF s/frame + quality (P=2, the
+    +-0.25 synthetic overlap fixture of `tools/bench_multiperson.py`,
+    points engine, full default schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvsmplfitting_tpu.fitting import FitConfig
+    from mvsmplfitting_tpu.fitting import energy as E
+    from mvsmplfitting_tpu.fitting.energy import (EnergySpec,
+                                                  Observations)
+    from mvsmplfitting_tpu.fitting.multi_person import fit_people
+    from mvsmplfitting_tpu.models import vposer as vposer_lib
+    from mvsmplfitting_tpu.models.assets import synthetic_smpl
+    from mvsmplfitting_tpu.models.camera import project_points
+    from mvsmplfitting_tpu.models.joint_model import with_joint_model
+    from mvsmplfitting_tpu.models.smpl import SMPLParams, smpl_forward
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from test_triangulate import make_cameras
+
+    rng = np.random.default_rng(7)
+    assets = with_joint_model(synthetic_smpl())
+    path = os.path.join(os.path.dirname(__file__), "assets",
+                        "vposer_weights.npz")
+    vw = (vposer_lib.load_npz(path) if os.path.exists(path)
+          else vposer_lib.random_weights())
+    cam = make_cameras()
+    obs_list = []
+    for dx in [0.5 * (p - (P - 1) / 2.0) for p in range(P)]:
+        z = jnp.asarray(0.2 * rng.standard_normal(32), jnp.float32)
+        true = SMPLParams(
+            betas=jnp.asarray(0.3 * rng.standard_normal(10),
+                              jnp.float32),
+            global_orient=jnp.asarray([0.1, 0.2, 0.0]),
+            body_pose=jnp.zeros(69),
+            transl=jnp.asarray([dx, -0.1, 0.2]),
+            scale=jnp.asarray(1.0))
+        body_pose = vposer_lib.decode(vw, z)
+        _, joints = smpl_forward(assets, true, body_pose)
+        gt2d = project_points(cam, joints)
+        K = gt2d.shape[1]
+        obs_list.append(Observations(
+            gt2d=gt2d, conf=jnp.ones((6, K)), view_mask=jnp.ones(6),
+            joint_weights=jnp.ones(K)))
+    obs_people = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+
+    spec = EnergySpec(interpenetration=True, coll_grid_size=32,
+                      use_pallas_sdf=jax.default_backend() != "cpu")
+    cfg = FitConfig(spec=spec)
+
+    @jax.jit
+    def run(obs):
+        results, sums = fit_people(cfg, assets, cam, obs,
+                                   vposer_w=vw, img_height=1080.0)
+        solo_spec = spec.replace(interpenetration=False)
+
+        def reproj(params, z, o):
+            x = E.pack(solo_spec, params, z)
+            return E.reprojection_error_px(solo_spec, assets, cam, o,
+                                           vw, x)
+        return (results.loss, sums,
+                jax.vmap(reproj)(results.params, results.z, obs))
+
+    loss, sums, px = jax.tree.map(np.asarray, run(obs_people))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        loss, sums, px = jax.tree.map(np.asarray, run(obs_people))
+    dt = (time.perf_counter() - t0) / reps
+    return {"s_per_frame": round(dt, 3), "P": P, "engine": "points",
+            "coll_sums": [round(float(v), 5) for v in sums],
+            "reproj_px": [round(float(v), 3) for v in px],
+            "loss": [round(float(v), 2) for v in loss]}
+
+
+def _parity_full_budget():
+    """Full-budget reference parity, measured fresh in subprocesses on
+    CPU (reference ~60 s + ours; both sides of the
+    `test_reference_e2e.py` full-budget gate)."""
+    import pickle
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    with tempfile.TemporaryDirectory() as tmp:
+        work = os.path.join(tmp, "parity")
+        os.makedirs(work)
+        for cmd, t in (
+                (["tools/make_parity_workspace.py", work], 240),
+                (["tools/run_reference_cpu.py", work, "30"], 900)):
+            r = subprocess.run([sys.executable] + cmd, cwd=repo,
+                               env=env, capture_output=True,
+                               text=True, timeout=t)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"{cmd[0]}: {r.stderr[-300:]}")
+        cfg = os.path.join(work, "ours.yaml")
+        with open(cfg, "w") as f:
+            f.write(f"""
+data_folder: "{work}/data"
+cam_param: "{work}/data/camparams.txt"
+output_folder: "{work}/ours_out"
+model_folder: "{work}/models"
+model_type: "smpllsp"
+allow_synthetic_model: false
+use_vposer: true
+prior_folder: "/root/reference/priors"
+body_prior_type: 'l2'
+body_pose_prior_weights: [4.04e2, 4.04e2, 57.4, 4.78]
+shape_weights: [1.0e2, 5.0e1, 1.0e1, 0.5e1]
+coll_loss_weights: [0.0, 0.0, 1000.0, 4500.0]
+rho: 100
+optim_type: 'lbfgsls'
+maxiters: 30
+save_meshes: false
+save_images: false
+""")
+        r = subprocess.run(
+            [sys.executable, "-m", "mvsmplfitting_tpu.cli.main",
+             "--config", cfg],
+            cwd=repo, env=env, capture_output=True, text=True,
+            timeout=900)
+        if r.returncode != 0:
+            raise RuntimeError(f"ours: {r.stderr[-300:]}")
+        ref = pickle.load(open(os.path.join(
+            work, "output/results/0000/00001/000.pkl"), "rb"),
+            encoding="latin1")
+        ours = pickle.load(open(os.path.join(
+            work, "ours_out/results/0000/00001/000.pkl"), "rb"))
+    ref_loss, our_loss = float(ref["loss"]), float(ours["loss"])
+    ref_scale = float(np.asarray(ref["scale"]).ravel()[0])
+    our_scale = float(np.asarray(ours["scale"]).ravel()[0])
+    corr = float(np.corrcoef(
+        np.asarray(ref["pose_embedding"]).ravel(),
+        np.asarray(ours["pose_embedding"]).ravel())[0, 1])
+    return {
+        "ref_loss": round(ref_loss, 1), "our_loss": round(our_loss, 1),
+        "loss_rel_pct": round(
+            100 * abs(our_loss - ref_loss) / ref_loss, 2),
+        "scale_rel_pct": round(
+            100 * abs(our_scale - ref_scale) / ref_scale, 2),
+        "pose_corr": round(corr, 3),
+    }
 
 
 def _probe_backend_once(timeout_s):

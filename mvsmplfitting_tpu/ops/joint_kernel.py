@@ -270,7 +270,12 @@ def _core(thT, beT, scT, fold_p, c_p, c_cb, c_vb_w, c_vb_p, smalls,
     anc_m = cmat("anc")
 
     def mat(m, x):
-        return jnp.dot(m, x, preferred_element_type=f32)
+        # HIGHEST: the MXU's default single-pass bf16 matmul truncates
+        # the gathered/contracted fp32 values to 8 mantissa bits
+        # (chip-measured 7e-3 rel on the one-hot permutation dots);
+        # full fp32 passes keep the kernel in the reassociation class.
+        return jnp.dot(m, x, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     # ---- rodrigues + closed-form dR ------------------------------
     v = [thT[c * J:(c + 1) * J] for c in range(3)]     # 3 x (J, B)
@@ -368,7 +373,16 @@ def _core(thT, beT, scT, fold_p, c_p, c_cb, c_vb_w, c_vb_p, smalls,
          for a_ in range(3)], axis=1)
     M_cb = mat(c_cb, Xp) if Kc else None               # (Kc*NB, 3B)
     M_vb = (mat(c_vb_w, X) + mat(c_vb_p, Xp)) if Kv else None
-    P_mat = mat(c_p, X) if Kv else None                # (Kv*9*(J-1), 3B)
+
+    def P_slot(i):
+        # Per-slot pose-corrective product (207, 3B).  One matmul per
+        # vertex slot instead of a single (Kv*207, 3B) product: the
+        # full P_mat at Kv=17 is 5.4 MB and (with fp32-precision
+        # matmul scratch) overflowed the 16 MB VMEM budget on chip;
+        # per-slot products are consumed immediately, so the stack
+        # allocator reuses one 0.3 MB slab.
+        lo = i * 9 * (J - 1)
+        return mat(c_p[lo:lo + 9 * (J - 1)], X)
 
     # ---- vertex-slot primitives ----------------------------------
     vp = {}        # [(i, a)] -> (1, B) vertex-joint positions
@@ -411,33 +425,35 @@ def _core(thT, beT, scT, fold_p, c_p, c_cb, c_vb_w, c_vb_p, smalls,
                                      (ci[k] + 1) * NB, a_))
                 dsc_rows.append((p[a_][jsl:jsl + 1] - rel0[a_]) * inv_s)
 
-    for A in range(3):
-        for k in range(K):
-            if k in vi:
-                i = vi[k]
-                ucol = col(("u", i))
+    dth_atoms = {}
+    for k in range(K):
+        if k in vi:
+            i = vi[k]
+            ucol = col(("u", i))
+            Pm = P_slot(i)                             # (9(J-1), 3B)
+            for A in range(3):
                 for a_ in range(3):
                     atom = (sum(Grot[a_][d][A] * Yd[(i, d)]
                                 for d in range(3))
                             + ucol * Gt[a_][A])        # (J, B)
                     pc = sum(
-                        lane(P_mat,
-                             (i * 9 + (r * 3 + c)) * (J - 1),
-                             (i * 9 + (r * 3 + c)) * (J - 1) + J - 1,
+                        lane(Pm, (r * 3 + c) * (J - 1),
+                             (r * 3 + c) * (J - 1) + J - 1,
                              a_) * dR[r][c][A][1:]
                         for r in range(3) for c in range(3))
-                    atom = jnp.concatenate(
+                    dth_atoms[(A, k, a_)] = jnp.concatenate(
                         [atom[:1], atom[1:] + pc], axis=0)
-                    dth_rows.append(atom)
-            else:
-                jsl = meta.cidx[ci[k]]
-                ancj = col(("ancj", ci[k]))
+        else:
+            jsl = meta.cidx[ci[k]]
+            ancj = col(("ancj", ci[k]))
+            for A in range(3):
                 for a_ in range(3):
                     pj = [p[d][jsl:jsl + 1] for d in range(3)]
-                    atom = ancj * (sum(Grot[a_][d][A] * pj[d]
-                                       for d in range(3))
-                                   + Gt[a_][A])
-                    dth_rows.append(atom)
+                    dth_atoms[(A, k, a_)] = ancj * (
+                        sum(Grot[a_][d][A] * pj[d] for d in range(3))
+                        + Gt[a_][A])
+    dth_rows = [dth_atoms[(A, k, a_)] for A in range(3)
+                for k in range(K) for a_ in range(3)]
 
     return jnp.concatenate(
         joints_rows + dth_rows + dbe_rows + dsc_rows, axis=0)
@@ -552,9 +568,14 @@ def kernel_ok(jm: JointModel) -> bool:
     return not isinstance(jm.chain_mask, jax.core.Tracer)
 
 
-# Production default: flipped only on chip evidence (CLAUDE.md rule —
-# a kernel change must chip-compile+run before becoming the default).
-_DEFAULT_ON = False
+# Production default ON: chip-validated 2026-08-20 (CLAUDE.md rule —
+# no kernel default without a chip compile+run).  Paired chip evidence
+# (tools/bench_joint_kernel.py, B=128, jaxpr-verified paths):
+# joint_jacobian 1296 -> 571 us (2.27x), analytic r+J+JtJ 1551 -> 783
+# (1.98x), classic LM step 1612 -> 958 (1.68x); exactness vs the XLA
+# closed form 3.4e-7 max rel (reassociation class); Mosaic compile
+# 7.8 s.  `MVSF_JOINT_KERNEL=0` reverts for A/B.
+_DEFAULT_ON = True
 
 
 def use_kernel() -> bool:

@@ -89,6 +89,17 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
                                vposer_w, gmm, x)
         return frame_residual
 
+    # Frame/shared column ids of the PACKED Jacobian (the analytic
+    # path computes J on the packed layout; the block split is just a
+    # column partition — `_assemble_x` inverted).
+    p, nb = E.pose_dim(spec), spec.num_betas
+    f_cols = jnp.asarray(list(range(p))
+                         + list(range(p + nb, p + nb + 6)), jnp.int32)
+    s_cols = jnp.asarray(list(range(p, p + nb)) + [p + nb + 6],
+                         jnp.int32)
+    use_analytic = (opts.jac == "analytic"
+                    and E.analytic_jac_ok(spec, assets))
+
     def body(obs_l, xf0, xs0):
         """One shard's frames; xs replicated. Runs under shard_map or
         plain (mesh=None)."""
@@ -106,12 +117,25 @@ def schur_sequence_fit(cfg: FitConfig, assets, cam: Camera,
                 xf, xs, loss, lam, it, done = state
 
                 def per_frame(xf_f, o):
-                    r, lin = jax.linearize(
-                        lambda a, b: frame_residual(a, b, o), xf_f, xs)
-                    Jf = jax.vmap(
-                        lambda e: lin(e, jnp.zeros(ns)))(jnp.eye(nf)).T
-                    Js = jax.vmap(
-                        lambda e: lin(jnp.zeros(nf), e))(jnp.eye(ns)).T
+                    if use_analytic:
+                        # Closed-form packed J (kernel-accelerated
+                        # under the frames vmap, `ops/joint_kernel`);
+                        # the frame/shared split is a column gather.
+                        r, J = E.residual_jacobian(
+                            spec, assets, cam, o, weights, vposer_w,
+                            gmm, _assemble_x(spec, xf_f, xs))
+                        Jf = J[:, f_cols]
+                        Js = J[:, s_cols]
+                    else:
+                        r, lin = jax.linearize(
+                            lambda a, b: frame_residual(a, b, o),
+                            xf_f, xs)
+                        Jf = jax.vmap(
+                            lambda e: lin(e, jnp.zeros(ns)))(
+                            jnp.eye(nf)).T
+                        Js = jax.vmap(
+                            lambda e: lin(jnp.zeros(nf), e))(
+                            jnp.eye(ns)).T
                     A = Jf.T @ Jf
                     Bm = Jf.T @ Js
                     C = Js.T @ Js

@@ -172,9 +172,15 @@ class TestEnergyIntegration:
             lambda a: jnp.broadcast_to(a, (4,) + a.shape), obs)
 
         monkeypatch.setattr(JK, "_DEFAULT_ON", False)
+        assert "pallas_call" not in str(
+            jax.make_jaxpr(jax.vmap(rj))(xs, obs_b))
         r0, J0 = jax.jit(jax.vmap(rj))(xs, obs_b)
         monkeypatch.setattr(JK, "_DEFAULT_ON", True)
-        r1, J1 = jax.jit(jax.vmap(rj))(xs, obs_b)
+        # positive control: the flag really switches the graph (the
+        # r5 chip-measurement trap was a silently-reused trace)
+        assert "pallas_call" in str(
+            jax.make_jaxpr(jax.vmap(rj))(xs, obs_b))
+        r1, J1 = jax.jit(lambda a, b: jax.vmap(rj)(a, b))(xs, obs_b)
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
                                    rtol=RTOL, atol=ATOL)
         scale_ref = np.maximum(np.abs(np.asarray(J0)).max(), 1.0)

@@ -79,14 +79,31 @@ class TestFrameSharding:
 class TestCameraSharding:
     @pytest.mark.parametrize("layout", [(2, 2)])
     def test_psum_assembly_matches_single_device(self, assets, vposer_w,
-                                                 rng, layout):
+                                                 rng, layout,
+                                                 monkeypatch):
+        # Pin BOTH sides to the XLA closed-form Jacobian: the sharded
+        # side is vmapped (so the fused kernel would fire) while the
+        # single-device reference is unbatched (XLA closed form), and
+        # at a 5-iteration mid-descent snapshot their reassociation-
+        # level differences blow up 2x (the documented twitchiness).
+        # This test checks PSUM ASSEMBLY, not Jacobian-impl trajectory
+        # equivalence (that's test_joint_kernel / the analytic-vs-ad
+        # test below).
+        from mvsmplfitting_tpu.ops import joint_kernel as JK
+        monkeypatch.setattr(JK, "_DEFAULT_ON", False)
         cam, obs, true, _ = make_problem(assets, vposer_w, rng)
         frames_ax, cams_ax = layout
         B = 2 * frames_ax
         mesh = make_mesh(
             MeshLayout(frames=frames_ax, cameras=cams_ax),
             devices=jax.devices()[:frames_ax * cams_ax])
-        cfg = FitConfig(lm=LMOptions(max_iters=5),
+        # Exactness-anchor solver opts: camera_sharded_fit's internal
+        # loop is classic LM, so the single-device reference must not
+        # run the speculative library default (r5 flip) — a 5-iter
+        # mid-descent snapshot under DIFFERENT accept rules diverges
+        # 2x without either side being wrong.
+        cfg = FitConfig(lm=LMOptions(max_iters=5, speculative=False,
+                                     linsolve="chol"),
                         pose_weights=(57.4,),
                         shape_weights=(10.0,),
                         coll_weights=(0.0,))

@@ -63,6 +63,12 @@ def main():
     th, be, sc = jax.vmap(theta_of)(x0)
 
     # ---- (a) exactness on the chip --------------------------------
+    # The XLA reference must run full-fp32 matmuls for the comparison
+    # to sit in the reassociation class (its default single-pass bf16
+    # MXU precision carries ~4e-3 of its own error); the kernel pins
+    # HIGHEST internally.  Timings below run at production precision.
+    prec_ctx = jax.default_matmul_precision("highest")
+    prec_ctx.__enter__()
     jk = jax.jit(lambda t, b, s: JK.joint_jacobian_batched(jm, t, b, s))
     t0 = time.perf_counter()
     j1, blk1 = jax.block_until_ready(jk(th, be, sc))
@@ -93,6 +99,7 @@ def main():
     ok = max_err < 3e-5
     print(f"exactness {'OK' if ok else 'FAIL'} (max {max_err:.2e}), "
           f"kernel compile+first {compile_s:.1f}s", file=sys.stderr)
+    prec_ctx.__exit__(None, None, None)
 
     # ---- (b) timings ----------------------------------------------
     def timed(name, chained_fn, carry0):
@@ -130,43 +137,55 @@ def main():
         return jax.lax.fori_loop(0, K, body, x)
     out["xla_jjac_us"] = timed("xla joint_jacobian", chain_jjac_xla, x0)
 
-    # analytic r+J+JtJ with each path
+    # analytic r+J+JtJ with each path.  The chain builders return
+    # FRESH function objects per flag: jax.jit's global trace cache is
+    # keyed on function identity, so reusing one chain function across
+    # the flag flip silently reuses the first flag's executable (the
+    # r5 measurement trap — both "paths" timed identically).
     import mvsmplfitting_tpu.ops.joint_kernel as JKmod
 
-    def chain_rj(x):
-        def body(_, x):
-            def one(xi, oi):
-                r, Jm = E.residual_jacobian(
-                    spec, sess.assets, sess.cameras, oi, weights,
-                    sess.vposer, sess.gmm, xi)
-                Jm = Jm * mask[None, :]
-                return Jm.T @ Jm, Jm.T @ r
-            JtJ, g = jax.vmap(one)(x, obs)
-            return x + 0.0 * g * jnp.mean(JtJ)
-        return jax.lax.fori_loop(0, K, body, x)
+    def make_chain_rj():
+        def chain_rj(x):
+            def body(_, x):
+                def one(xi, oi):
+                    r, Jm = E.residual_jacobian(
+                        spec, sess.assets, sess.cameras, oi, weights,
+                        sess.vposer, sess.gmm, xi)
+                    Jm = Jm * mask[None, :]
+                    return Jm.T @ Jm, Jm.T @ r
+                JtJ, g = jax.vmap(one)(x, obs)
+                return x + 0.0 * g * jnp.mean(JtJ)
+            return jax.lax.fori_loop(0, K, body, x)
+        return chain_rj
 
-    def chain_step(x):
-        def body(_, x):
-            def one(xi, oi):
-                r, Jm = E.residual_jacobian(
-                    spec, sess.assets, sess.cameras, oi, weights,
-                    sess.vposer, sess.gmm, xi)
-                Jm = Jm * mask[None, :]
-                JtJ, g = Jm.T @ Jm, Jm.T @ r
-                diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
-                A = JtJ + 1e-3 * jnp.diag(diag) + 1e-12 * jnp.eye(n)
-                dx = -_solve_spd(A, g, cfg.lm.linsolve,
-                                 cfg.lm.schulz_iters) * mask
-                return xi + dx * 0.5
-            return jax.vmap(one)(x, obs)
-        return jax.lax.fori_loop(0, K, body, x)
+    def make_chain_step():
+        def chain_step(x):
+            def body(_, x):
+                def one(xi, oi):
+                    r, Jm = E.residual_jacobian(
+                        spec, sess.assets, sess.cameras, oi, weights,
+                        sess.vposer, sess.gmm, xi)
+                    Jm = Jm * mask[None, :]
+                    JtJ, g = Jm.T @ Jm, Jm.T @ r
+                    diag = jnp.maximum(jnp.diagonal(JtJ), 1e-8)
+                    A = JtJ + 1e-3 * jnp.diag(diag) + 1e-12 * jnp.eye(n)
+                    dx = -_solve_spd(A, g, cfg.lm.linsolve,
+                                     cfg.lm.schulz_iters) * mask
+                    return xi + dx * 0.5
+                return jax.vmap(one)(x, obs)
+            return jax.lax.fori_loop(0, K, body, x)
+        return chain_step
 
     for name, flag in (("kernel", True), ("xla", False)):
         JKmod._DEFAULT_ON = flag
+        fn_rj, fn_step = make_chain_rj(), make_chain_step()
+        # positive control: the flag must actually switch the graph
+        n_pallas = str(jax.make_jaxpr(fn_rj)(x0)).count("pallas_call")
+        assert (n_pallas > 0) == flag, (name, n_pallas)
         out[f"analytic_rj_{name}_us"] = timed(
-            f"analytic r+J+JtJ [{name}]", chain_rj, x0)
+            f"analytic r+J+JtJ [{name}]", fn_rj, x0)
         out[f"classic_step_{name}_us"] = timed(
-            f"classic step [{name}]", chain_step, x0)
+            f"classic step [{name}]", fn_step, x0)
     JKmod._DEFAULT_ON = False
 
     print(json.dumps({"metric": "joint_kernel", "detail": out}))

@@ -14,6 +14,7 @@ collision grid.  Reports s/frame (host-synced), final losses and the
 post-refinement collision sums.
 """
 
+import json
 import os
 import sys
 import time
@@ -107,12 +108,21 @@ def main():
     # jit the WHOLE fit: un-jitted fit_people dispatches hundreds of
     # eager ops through the tunnel (the r3 chip sessions measured that
     # overhead at tens of seconds/frame — docs/BENCH_NOTES.md).
+    from mvsmplfitting_tpu.fitting import energy as E
+
     @functools.partial(jax.jit, static_argnames=())
     def _run(obs):
         results, sums = fit_people(cfg, assets, cam, obs,
                                    vposer_w=vw, img_height=1080.0,
                                    lagged_sdf=lagged, sdf_engine=engine)
-        return results.loss, sums
+        solo_spec = cfg.spec.replace(interpenetration=False)
+
+        def reproj(params, z, o):
+            x = E.pack(solo_spec, params, z)
+            return E.reprojection_error_px(solo_spec, assets, cam, o,
+                                           vw, x)
+        px = jax.vmap(reproj)(results.params, results.z, obs)
+        return results.loss, sums, px
 
     def run():
         return _run(obs_people)
@@ -127,17 +137,23 @@ def main():
     print(f"grid={grid} engine={engine} lagged={lagged} P={P} "
           f"device={jax.devices()[0]}", flush=True)
     t0 = time.perf_counter()
-    loss, sums = jax.tree.map(np.asarray, run())
+    loss, sums, px = jax.tree.map(np.asarray, run())
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
-          f"loss={loss} coll_sums={sums} "
+          f"loss={loss} coll_sums={sums} reproj_px={px} "
           f"joint_energy={joint_energy(loss, sums):.4g}", flush=True)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        loss, sums = jax.tree.map(np.asarray, run())
+        loss, sums, px = jax.tree.map(np.asarray, run())
     dt = (time.perf_counter() - t0) / reps
     print(f"s/frame: {dt:.3f}  loss={loss} coll_sums={sums} "
-          f"joint_energy={joint_energy(loss, sums):.4g}")
+          f"reproj_px={px} joint_energy={joint_energy(loss, sums):.4g}")
+    print(json.dumps({"metric": "multi_person", "detail": {
+        "s_per_frame": round(dt, 3), "engine": engine, "P": P,
+        "loss": [round(float(v), 2) for v in loss],
+        "coll_sums": [round(float(v), 5) for v in sums],
+        "reproj_px": [round(float(v), 3) for v in px],
+        "joint_energy": round(joint_energy(loss, sums), 2)}}))
 
 
 if __name__ == "__main__":

@@ -372,7 +372,12 @@ def main():
 
     from mvsmplfitting_tpu.fitting.lm import LMOptions
 
-    BATCH = int(os.environ.get("MVSF_BENCH_BATCH", "128"))
+    # B=512 is the measured r5 throughput point: the axon tunnel
+    # charges a fixed ~24 ms dispatch per jit call (measured,
+    # BENCH_NOTES r5), so larger batches amortize it — the old B=128
+    # "straggler knee" inverted once the fused kernels cut per-
+    # iteration compute (2091 / 2666 / 2978 fps at 128/256/512).
+    BATCH = int(os.environ.get("MVSF_BENCH_BATCH", "512"))
     # 128 = measured optimum (stragglers in the vmapped while_loop
     # erase gains beyond this); override via MVSF_BENCH_BATCH for
     # CPU smoke runs.

@@ -89,18 +89,15 @@ def rle_decode(rle: dict) -> np.ndarray:
     uint8 mask.  Counts alternate 0-runs / 1-runs over the
     column-major (Fortran) flattening."""
     h, w = int(rle["size"][0]), int(rle["size"][1])
-    counts = _counts_of(rle)
-    flat = np.zeros(h * w, np.uint8)
-    pos = 0
-    val = 0
-    for c in counts:
-        c = int(c)
-        if val:
-            flat[pos:pos + c] = 1
-        pos += c
-        val ^= 1
-    if pos != h * w:
-        raise ValueError(f"RLE counts sum {pos} != h*w {h * w}")
+    counts = np.asarray(_counts_of(rle), np.int64)
+    # Vectorized run expansion (parity-alternating runs): np.repeat of
+    # the 0/1 run values — O(runs) python work was the round-4 advisor
+    # note; this is pure numpy regardless of mask density.
+    vals = np.zeros(counts.size, np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, counts)
+    if flat.size != h * w:
+        raise ValueError(f"RLE counts sum {flat.size} != h*w {h * w}")
     return flat.reshape(w, h).T  # column-major
 
 

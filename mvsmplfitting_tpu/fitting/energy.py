@@ -509,14 +509,25 @@ def _analytic_core(spec: EnergySpec, assets: SMPLAssets,
     nb = spec.num_betas
     params, z = unpack(spec, x)
 
+    jm = assets.joint_model
+    from ..ops import joint_kernel
+
     if spec.use_vposer:
-        body_pose, D_z = vposer_lib.decode_jac(vposer_w, z)
+        from ..ops import vposer_kernel
+        if (joint_kernel.use_kernel()
+                and vposer_kernel.weights_ok(vposer_w)):
+            # Fused decoder tail (ops/vposer_kernel.py): the MLP
+            # matmuls stay XLA (already ~free on the MXU); the
+            # 6D->aa tail + its 6 JVP columns + the MLP-Jacobian
+            # composition run as one Pallas program under the
+            # production vmap instead of ~15 launch-latency kernels.
+            body_pose, D_z = vposer_kernel.make_decode_jac_auto(
+                vposer_w)(z)
+        else:
+            body_pose, D_z = vposer_lib.decode_jac(vposer_w, z)
     else:
         body_pose = params.body_pose
         D_z = None
-
-    jm = assets.joint_model
-    from ..ops import joint_kernel
     if joint_kernel.use_kernel() and joint_kernel.kernel_ok(jm):
         # Fused Pallas path (ops/joint_kernel.py): under the production
         # vmapped fit this collapses the ~15-einsum joint-Jacobian graph

@@ -187,3 +187,60 @@ class TestEnergyIntegration:
         np.testing.assert_allclose(np.asarray(J1), np.asarray(J0),
                                    rtol=RTOL,
                                    atol=ATOL * scale_ref)
+
+
+class TestVposerTailKernel:
+    """Fused decoder-tail kernel (`ops/vposer_kernel.py`)."""
+
+    def _vw(self):
+        import os
+        from mvsmplfitting_tpu.models import vposer as vposer_lib
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "vposer_weights.npz")
+        return (vposer_lib.load_npz(path) if os.path.exists(path)
+                else vposer_lib.random_weights())
+
+    def test_batched_matches_decode_jac(self):
+        from mvsmplfitting_tpu.models import vposer as V
+        from mvsmplfitting_tpu.ops import vposer_kernel as VK
+        vw = self._vw()
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(0, 0.6, (5, 32)), jnp.float32)
+        aa1, D1 = VK.decode_jac_batched(vw, z, interpret=True)
+        aa0, D0 = jax.vmap(lambda zi: V.decode_jac(vw, zi))(z)
+        np.testing.assert_allclose(np.asarray(aa1), np.asarray(aa0),
+                                   rtol=RTOL, atol=ATOL)
+        sc = np.maximum(np.abs(np.asarray(D0)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                                   rtol=3e-4, atol=3e-4 * sc)
+
+    def test_near_identity_rotations(self):
+        # The small-angle / pivot-floor quirks must differentiate
+        # identically (6D reps near the identity rotation).
+        from mvsmplfitting_tpu.models import vposer as V
+        from mvsmplfitting_tpu.ops import vposer_kernel as VK
+        vw = self._vw()
+        rng = np.random.default_rng(1)
+        z = jnp.asarray(rng.normal(0, 1e-3, (3, 32)), jnp.float32)
+        aa1, D1 = VK.decode_jac_batched(vw, z, interpret=True)
+        aa0, D0 = jax.vmap(lambda zi: V.decode_jac(vw, zi))(z)
+        np.testing.assert_allclose(np.asarray(aa1), np.asarray(aa0),
+                                   rtol=RTOL, atol=ATOL)
+        sc = np.maximum(np.abs(np.asarray(D0)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                                   rtol=3e-4, atol=3e-4 * sc)
+
+    def test_auto_wrapper_vmap(self):
+        from mvsmplfitting_tpu.models import vposer as V
+        from mvsmplfitting_tpu.ops import vposer_kernel as VK
+        vw = self._vw()
+        rng = np.random.default_rng(2)
+        z = jnp.asarray(rng.normal(0, 0.6, (4, 32)), jnp.float32)
+        auto = VK.make_decode_jac_auto(vw)
+        aa1, D1 = jax.jit(jax.vmap(auto))(z)
+        aa0, D0 = jax.vmap(lambda zi: V.decode_jac(vw, zi))(z)
+        np.testing.assert_allclose(np.asarray(aa1), np.asarray(aa0),
+                                   rtol=RTOL, atol=ATOL)
+        sc = np.maximum(np.abs(np.asarray(D0)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                                   rtol=3e-4, atol=3e-4 * sc)

@@ -41,6 +41,7 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                sdf_engine: str = "points",
                points_iters: int = 15,
                points_anneal: bool = True,
+               restarts: int = 2,
                ) -> Tuple[FitResult, jnp.ndarray]:
     """Fit P people in one frame.
 
@@ -83,6 +84,16 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
         reference's voxelize-then-trilinear-sample form at
         `spec.coll_grid_size` with the `lagged_sdf` schedule —
         the strict-parity mode.
+      restarts: points engine only — run the joint refinement from
+        `restarts` starts and keep the lowest final JOINT ENERGY.
+        The refinement's basin on deep-overlap scenes is
+        trajectory-chaotic (1e-7-level solver changes flip it between
+        a ~0.4 px push-apart basin and a ~4.5 px distorted one —
+        docs/BENCH_NOTES.md r4/r5); restart 1 is INFORMED: the solo
+        bodies pre-separated 1.5 cm along their line of centers,
+        biasing toward the push-apart basin.  Selection is by the
+        exact refinement objective, so extra restarts can only
+        improve it.  1 disables (the pre-r5 behavior).
 
     Returns:
       (batched FitResult over people, collision sums (P,) after
@@ -196,10 +207,39 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
         per = max(1, points_iters // len(ids))
         budgets = [per] * (len(ids) - 1) + [
             max(1, points_iters - per * (len(ids) - 1))]
-        for sid, iters in zip(ids, budgets):
-            flat, loss = lm_fit(
-                lambda f, w=stage_tbl[sid]: joint_residual_points(f, w),
-                flat, mask, base_lm.replace(max_iters=iters))
+
+        def run_sched(f):
+            for sid, iters in zip(ids, budgets):
+                f, _ = lm_fit(
+                    lambda ff, w=stage_tbl[sid]:
+                    joint_residual_points(ff, w),
+                    f, mask, base_lm.replace(max_iters=iters))
+            return f
+
+        def joint_e(f):
+            r = joint_residual_points(f, stage_tbl[ids[-1]])
+            return jnp.sum(r * r)
+
+        starts = [flat]
+        if restarts >= 2 and P >= 2:
+            # Informed restart: separate each body 1.5 cm from the
+            # centroid of the others along the line of centers —
+            # biases the chaotic basin choice toward push-apart.
+            pidx = E.pose_dim(solo_spec) + solo_spec.num_betas + 3
+            xs_r = flat.reshape(P, n)
+            tr = xs_r[:, pidx:pidx + 3]
+            others = (jnp.sum(tr, 0, keepdims=True) - tr) / max(P - 1, 1)
+            d = tr - others
+            dn = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+            starts.append(
+                xs_r.at[:, pidx:pidx + 3].add(0.015 * dn).reshape(-1))
+        refined = [run_sched(s) for s in starts[:max(1, restarts)]]
+        if len(refined) == 1:
+            flat = refined[0]
+        else:
+            es = jnp.stack([joint_e(f) for f in refined])
+            flat = jnp.stack(refined)[jnp.argmin(es)]
     elif mode == "lagged":
         flat, loss = lm_fit(joint_residual, flat, mask,
                             base_lm.replace(max_iters=15),

@@ -584,7 +584,12 @@ def use_kernel() -> bool:
         return True
     if v in ("0", "false", "off"):
         return False
-    return _DEFAULT_ON
+    # Default ON only on the TPU backend: off-TPU the kernels would
+    # run in interpret mode, which is both slower than the XLA closed
+    # forms and inflates compiled graphs enough to crash the CPU
+    # backend compiler inside batched while_loops (r5).  CPU exactness
+    # tests opt in explicitly via MVSF_JOINT_KERNEL=1.
+    return _DEFAULT_ON and jax.default_backend() == "tpu"
 
 
 def make_joint_jacobian_auto(jm: JointModel):

@@ -171,11 +171,11 @@ class TestEnergyIntegration:
         obs_b = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (4,) + a.shape), obs)
 
-        monkeypatch.setattr(JK, "_DEFAULT_ON", False)
+        monkeypatch.setenv("MVSF_JOINT_KERNEL", "0")
         assert "pallas_call" not in str(
             jax.make_jaxpr(jax.vmap(rj))(xs, obs_b))
         r0, J0 = jax.jit(jax.vmap(rj))(xs, obs_b)
-        monkeypatch.setattr(JK, "_DEFAULT_ON", True)
+        monkeypatch.setenv("MVSF_JOINT_KERNEL", "1")
         # positive control: the flag really switches the graph (the
         # r5 chip-measurement trap was a silently-reused trace)
         assert "pallas_call" in str(

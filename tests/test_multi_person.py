@@ -44,6 +44,16 @@ def _fixture_people(assets, vw, cam, dx0):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """The quality tests each compile multi-hundred-MB while_loop
+    graphs; letting executables accumulate in one process has
+    segfaulted/aborted the XLA CPU compiler late in the suite (r5).
+    Dropping caches between tests keeps the process bounded."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def setup(rng=None):
     assets = with_joint_model(synthetic_smpl())

@@ -29,6 +29,61 @@ from .lm import lm_fit
 from .stages import FitConfig, FitResult, default_stages, fit_frame
 
 
+def make_points_forms(solo_spec: EnergySpec, assets, cam: Camera,
+                      obs_people: Observations, vposer_w, gmm,
+                      weights, P: int, n: int):
+    """(residual_fn, jac_fn) for the points-engine joint refinement
+    over the concatenated (P*n,) parameter vector.
+
+    residual_fn: flat -> rows [per-person data+prior rows; P collision
+    rows] whose sum of squares is the exact joint objective.
+    jac_fn: flat -> (r, J) with the base rows' Jacobian from the
+    per-person closed form (block-diagonal over people,
+    kernel-accelerated under the vmap — `ops/joint_kernel.py`) and the
+    P collision rows from P REVERSE passes (`jacrev` of the exact
+    per-person sums), instead of the AD fallback's P*n forward columns
+    through the whole body+SDF graph (round-5 verdict ask #3).
+    Exactness vs `jax.linearize` of residual_fn is tested.
+    """
+    from ..ops.sdf import collision_sums_points as _csp
+
+    def person_verts(x):
+        params, z = E.unpack(solo_spec, x)
+        body_pose = (vposer_lib.decode(vposer_w, z)
+                     if solo_spec.use_vposer else params.body_pose)
+        verts, _ = smpl_forward(assets, params, body_pose)
+        return verts
+
+    def sums_of(flat):
+        verts = jax.vmap(person_verts)(flat.reshape(P, n))
+        return _csp(verts, assets.faces)
+
+    def residual_fn(flat, w=weights):
+        xs = flat.reshape(P, n)
+        rows = jax.vmap(
+            lambda x, o: E.residuals(solo_spec, assets, cam, o, w,
+                                     vposer_w, gmm, x))(
+            xs, obs_people).reshape(-1)
+        return jnp.concatenate([rows, w.coll * sums_of(flat) / P])
+
+    def jac_fn(flat, w=weights):
+        from jax.scipy.linalg import block_diag
+        xs = flat.reshape(P, n)
+        rb, Jb = jax.vmap(
+            lambda x, o: E.residual_jacobian(
+                solo_spec, assets, cam, o, w, vposer_w, gmm, x))(
+            xs, obs_people)
+        s = sums_of(flat)
+        Jc = jax.jacrev(sums_of)(flat)                 # (P, P*n)
+        r = jnp.concatenate([rb.reshape(-1), w.coll * s / P])
+        J = jnp.concatenate(
+            [block_diag(*[Jb[i] for i in range(P)]),
+             (w.coll / P) * Jc], axis=0)
+        return r, J
+
+    return residual_fn, jac_fn
+
+
 def fit_people(cfg: FitConfig, assets, cam: Camera,
                obs_people: Observations,
                vposer_w=None, gmm=None,
@@ -42,6 +97,7 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                points_iters: int = 15,
                points_anneal: bool = True,
                restarts: int = 2,
+               points_jac: str = "ad",
                ) -> Tuple[FitResult, jnp.ndarray]:
     """Fit P people in one frame.
 
@@ -180,14 +236,11 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
                            spec.coll_grid_size, spec.use_pallas_sdf)
         return jnp.concatenate([rows, weights.coll * s / P])
 
-    def joint_residual_points(flat, w):
-        xs = flat.reshape(P, n)
-        rows = jax.vmap(
-            lambda x, o: E.residuals(solo_spec, assets, cam, o,
-                                     w, vposer_w, gmm, x))(
-            xs, obs_people).reshape(-1)
-        s = collision_sums_points(all_verts(xs), assets.faces)
-        return jnp.concatenate([rows, w.coll * s / P])
+    # Points-engine residual/Jacobian forms (module-level factory so
+    # the exactness test can call the same closures).
+    joint_residual_points, joint_rj_points = make_points_forms(
+        solo_spec, assets, cam, obs_people, vposer_w, gmm,
+        weights, P, n)
 
     mask = jnp.tile(E.free_mask(solo_spec), P)
     # speculative=False always: the stiff collision refinement degrades
@@ -208,12 +261,27 @@ def fit_people(cfg: FitConfig, assets, cam: Camera,
         budgets = [per] * (len(ids) - 1) + [
             max(1, points_iters - per * (len(ids) - 1))]
 
+        # Analytic Jacobian for the collision-active refinement
+        # (round-5 verdict ask #3) — see `make_points_forms`.  Chip
+        # A/B on the P=2 fixture: 0.284 vs 0.226 s/frame at identical
+        # quality — the jacrev transpose through the SDF engine
+        # outweighs the kernels' launch savings at these graph sizes,
+        # so the AD linearize stays the refinement default (a written
+        # negative result, docs/BENCH_NOTES.md r5); the exact form
+        # remains available via points_jac="analytic" and is
+        # exactness-tested either way.
+        use_analytic = (points_jac == "analytic"
+                        and E.analytic_jac_ok(solo_spec, assets))
+
         def run_sched(f):
             for sid, iters in zip(ids, budgets):
+                w = stage_tbl[sid]
+                jac_fn = ((lambda ff, w=w: joint_rj_points(ff, w))
+                          if use_analytic else None)
                 f, _ = lm_fit(
-                    lambda ff, w=stage_tbl[sid]:
-                    joint_residual_points(ff, w),
-                    f, mask, base_lm.replace(max_iters=iters))
+                    lambda ff, w=w: joint_residual_points(ff, w),
+                    f, mask, base_lm.replace(max_iters=iters),
+                    jac_fn=jac_fn)
             return f
 
         def joint_e(f):

@@ -269,3 +269,53 @@ class TestRefinedQuality:
         assert np.asarray(s).sum() <= 1e-6
         px = _mean_reproj_px(assets, cam, vw, spec, r, obs_clear)
         assert (px <= 0.75).all(), px
+
+
+class TestPointsJacobian:
+    def test_points_jacobian_matches_ad(self, setup):
+        """The collision-active analytic Jacobian (block-diagonal
+        closed-form base rows + jacrev collision rows,
+        `make_points_forms`) must equal `jax.linearize` of the same
+        residual to fp32 reassociation tolerance — this is the form
+        the joint refinement's LM consumes (round-5 verdict ask #3)."""
+        from mvsmplfitting_tpu.fitting import energy as E
+        from mvsmplfitting_tpu.fitting.multi_person import (
+            make_points_forms)
+        from mvsmplfitting_tpu.fitting.stages import default_stages
+
+        assets, vw, cam, obs_people = setup
+        spec = EnergySpec(interpenetration=True, coll_grid_size=16)
+        solo_spec = spec.replace(interpenetration=False)
+        cfg = FitConfig(spec=spec)
+        weights = default_stages(cfg, jnp.asarray(1080.0))[-1]
+        P = 2
+        n = E.num_unknowns(solo_spec)
+
+        res_fn, jac_fn = make_points_forms(
+            solo_spec, assets, cam, obs_people, vw, None, weights,
+            P, n)
+
+        rng = np.random.default_rng(11)
+        # Two overlapping near-init states (nonzero collision rows).
+        # Packed layout: [z(32), betas(10), orient(3), transl(3),
+        # scale(1)] -> transl at 45:48, scale at 48.
+        base = np.zeros((P, n), np.float32)
+        base[0, 45:48] = [-0.1, -0.1, 0.2]
+        base[1, 45:48] = [0.1, -0.1, 0.2]
+        base[:, 48] = 1.0
+        flat = jnp.asarray(
+            (base + 0.03 * rng.standard_normal((P, n))).reshape(-1),
+            jnp.float32)
+
+        r1, J1 = jax.jit(jac_fn)(flat)
+        r0, lin = jax.linearize(lambda f: res_fn(f), flat)
+        J0 = jax.vmap(lin)(jnp.eye(flat.shape[0])).T
+        assert float(jnp.abs(r0[-P:]).max()) > 0.0   # collision active
+        # Reassociation class: the closed-form base rows walk a
+        # different (reassociated) graph than E.residuals (same as the
+        # joint-jac exactness tests' 2e-4-scaled tolerance).
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                                   rtol=3e-4, atol=1e-5)
+        sc = max(float(jnp.abs(J0).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(J1), np.asarray(J0),
+                                   rtol=3e-4, atol=3e-4 * sc)
